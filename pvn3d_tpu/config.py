@@ -1,0 +1,255 @@
+"""Typed configuration tree for the TPU-native PVN3D framework.
+
+The reference keeps a mutable ``Config`` class with import-time side effects
+(reference: pvn3d/common.py:12-159).  Here the configuration is a tree of
+frozen dataclasses with no I/O at import time; dataset metadata (class lists,
+radii, symmetric ids, intrinsics) is embedded as data, and larger numeric
+assets (FPS keypoints, mesh corner files) live under ``pvn3d_tpu/assets``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Mapping, Sequence, Tuple
+
+import numpy as np
+
+ASSETS_DIR = os.environ.get(
+    "PVN3D_ASSETS_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets"),
+)
+
+# ---------------------------------------------------------------------------
+# Dataset metadata (reference: pvn3d/common.py:50-150 and dataset_config files)
+# ---------------------------------------------------------------------------
+
+YCB_CLASSES: Tuple[str, ...] = (
+    "002_master_chef_can", "003_cracker_box", "004_sugar_box",
+    "005_tomato_soup_can", "006_mustard_bottle", "007_tuna_fish_can",
+    "008_pudding_box", "009_gelatin_box", "010_potted_meat_can",
+    "011_banana", "019_pitcher_base", "021_bleach_cleanser", "024_bowl",
+    "025_mug", "035_power_drill", "036_wood_block", "037_scissors",
+    "040_large_marker", "051_large_clamp", "052_extra_large_clamp",
+    "061_foam_brick",
+)
+
+# Per-class bounding radii in meters (reference: datasets/ycb/dataset_config/
+# radius.txt, loaded at common.py:80). Used for center-distance mask
+# refinement during vote clustering (pvn3d_eval_utils.py:69).
+YCB_RADII: Tuple[float, ...] = (
+    0.070055, 0.1067245, 0.088012, 0.0509075, 0.095652, 0.042785,
+    0.068953, 0.0505535, 0.051057, 0.089215, 0.121166, 0.125293,
+    0.0806345, 0.0584515, 0.093733, 0.10295, 0.1007495, 0.060462,
+    0.0855565, 0.104878, 0.0389385,
+)
+
+# Symmetric classes evaluated with ADD-S (reference: common.py:82).
+YCB_SYM_CLS_IDS: Tuple[int, ...] = (13, 16, 19, 20, 21)
+
+# LineMOD object name -> class id (reference: common.py:94-108).
+LM_OBJ_DICT: Mapping[str, int] = {
+    "ape": 1, "benchvise": 2, "cam": 4, "can": 5, "cat": 6, "driller": 8,
+    "duck": 9, "eggbox": 10, "glue": 11, "holepuncher": 12, "iron": 13,
+    "lamp": 14, "phone": 15,
+}
+LM_ID2OBJ: Mapping[int, str] = {v: k for k, v in LM_OBJ_DICT.items()}
+LM_SYM_CLS_IDS: Tuple[int, ...] = (10, 11)
+
+# Camera intrinsics (reference: common.py:137-150).
+INTRINSICS: Mapping[str, np.ndarray] = {
+    "linemod": np.array(
+        [[572.4114, 0.0, 325.2611],
+         [0.0, 573.57043, 242.04899],
+         [0.0, 0.0, 1.0]], dtype=np.float32),
+    "blender": np.array(
+        [[700.0, 0.0, 320.0],
+         [0.0, 700.0, 240.0],
+         [0.0, 0.0, 1.0]], dtype=np.float32),
+    "ycb_K1": np.array(
+        [[1066.778, 0.0, 312.9869],
+         [0.0, 1067.487, 241.3109],
+         [0.0, 0.0, 1.0]], dtype=np.float32),
+    "ycb_K2": np.array(
+        [[1077.836, 0.0, 323.7872],
+         [0.0, 1078.189, 279.6921],
+         [0.0, 0.0, 1.0]], dtype=np.float32),
+}
+
+
+# ---------------------------------------------------------------------------
+# Model configuration
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SALevelConfig:
+    """One PointNet++ set-abstraction level with multi-scale grouping.
+
+    Reference widths/radii: pvn3d/lib/pvn3d.py:67-112.
+    """
+    npoint: int
+    radii: Tuple[float, ...]
+    nsamples: Tuple[int, ...]
+    mlps: Tuple[Tuple[int, ...], ...]  # per-scale hidden widths (excl. input)
+
+
+@dataclasses.dataclass(frozen=True)
+class PointNet2Config:
+    """PointNet++ MSG semantic-seg trunk (reference: pvn3d.py:46-154)."""
+    input_channels: int = 6          # rgb + normal features per point
+    use_xyz: bool = True
+    sa_levels: Tuple[SALevelConfig, ...] = (
+        SALevelConfig(2048, (0.0175, 0.025), (16, 32),
+                      ((16, 16, 32), (32, 32, 64))),
+        SALevelConfig(1024, (0.025, 0.05), (16, 32),
+                      ((64, 64, 128), (64, 96, 128))),
+        SALevelConfig(512, (0.05, 0.1), (16, 32),
+                      ((128, 196, 256), (128, 196, 256))),
+        SALevelConfig(128, (0.1, 0.2), (16, 32),
+                      ((256, 256, 512), (256, 384, 512))),
+    )
+    # Feature-propagation MLP widths, top (coarsest) to bottom
+    # (reference: pvn3d.py:115-118, listed bottom-up there).
+    fp_mlps: Tuple[Tuple[int, ...], ...] = (
+        (128, 128), (256, 256), (512, 512), (512, 512),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class CNNConfig:
+    """Dilated-ResNet34 + PSP pyramid image branch.
+
+    Reference: pvn3d/lib/pspnet.py:48-90 ('Modified_PSPNet', resnet34
+    backend), pvn3d/lib/extractors.py:108-224 (output_stride 8 via dilation
+    2/4 in layers 3/4).
+    """
+    backbone_layers: Tuple[int, ...] = (3, 4, 6, 3)   # resnet34
+    psp_sizes: Tuple[int, ...] = (1, 2, 3, 6)
+    psp_features: int = 512       # resnet34 trunk output channels
+    psp_out: int = 1024
+    up_channels: Tuple[int, ...] = (256, 64, 64)
+    embedding_dim: int = 128      # per-pixel embedding fed to fusion
+    dropout_psp: float = 0.3
+    dropout_up: float = 0.15
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    n_classes: int = 22
+    n_keypoints: int = 8
+    n_sample_points: int = 12288   # reference: common.py:43
+    cnn: CNNConfig = CNNConfig()
+    pointnet2: PointNet2Config = PointNet2Config()
+    fusion_dim: int = 1792         # 256 + 512 + 1024 (reference: pvn3d.py:182)
+    seg_head: Tuple[int, ...] = (1024, 512, 128)
+    kp_head: Tuple[int, ...] = (1024, 512, 256)
+    ctr_head: Tuple[int, ...] = (1024, 512, 128)
+    image_height: int = 480
+    image_width: int = 640
+    compute_dtype: str = "bfloat16"   # MXU-friendly; params stay f32
+
+
+# ---------------------------------------------------------------------------
+# Training configuration (reference: common.py:36-47, train_ycb_pvn3d.py)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    n_total_epoch: int = 25
+    mini_batch_size: int = 24
+    num_mini_batch_per_epoch: int = 4000
+    val_mini_batch_size: int = 24
+    val_num_mini_batch_per_epoch: int = 125
+    test_mini_batch_size: int = 1
+    # CyclicLR triangular (reference: train_ycb_pvn3d.py:471-475,
+    # warmup_scheduler/scheduler.py:255-263).
+    base_lr: float = 1e-5
+    max_lr: float = 1e-3
+    lr_step_size: int = 25 * 4000 // 6
+    weight_decay: float = 0.0
+    # BN momentum schedule (reference: train_ycb_pvn3d.py:477-484):
+    # bn_momentum(it) = max(0.9 * 0.5**(it*bs/decay_step), 1e-2)
+    bn_momentum_init: float = 0.9
+    bn_decay: float = 0.5
+    bn_decay_step: float = 2e5
+    bn_momentum_clip: float = 1e-2
+    # Loss weights [seg, kp, ctr] (reference: train_ycb_pvn3d.py:182-184).
+    loss_weights: Tuple[float, float, float] = (2.0, 1.0, 1.0)
+    focal_gamma: float = 2.0
+    seed: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Inference / clustering configuration
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ClusterConfig:
+    """Batched MeanShift vote-clustering parameters.
+
+    Reference: pvn3d_eval_utils.py:37-110 uses bandwidth 0.08 and sequential
+    per-class per-keypoint fits; here all (class, keypoint+center) hypotheses
+    run as one batched masked fixed-point iteration.
+    """
+    bandwidth: float = 0.08
+    max_iter: int = 40
+    # Per-class point cap for the K x K clustering problem.  The reference
+    # clusters all class points (ragged); we pad/subsample to a fixed K.
+    max_points_per_class: int = 512
+    use_ctr: bool = True
+    use_ctr_clus_filter: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Batched point-to-point ICP refinement (reference: eval_icp.py)."""
+    max_iter: int = 500
+    tolerance: float = 1e-9
+    max_mesh_points: int = 2000
+    max_scene_points: int = 2000
+    min_class_points: int = 1500
+    cluster_bandwidth: float = 0.06
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetConfig:
+    name: str = "ycb"                 # "ycb" | "linemod"
+    cls_type: str = ""                # linemod object name
+    root: str = ""                    # dataset root on disk
+    n_sample_points: int = 12288
+    n_keypoints: int = 8
+    n_min_points: int = 400
+    # Max GT object instances per frame (YCB meta holds <=~10 objects).
+    max_instances: int = 12
+
+    @property
+    def n_classes(self) -> int:
+        return 22 if self.name == "ycb" else 2
+
+    @property
+    def n_objects(self) -> int:
+        return self.n_classes
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    dataset: DatasetConfig = DatasetConfig()
+    model: ModelConfig = ModelConfig()
+    train: TrainConfig = TrainConfig()
+    cluster: ClusterConfig = ClusterConfig()
+    icp: ICPConfig = ICPConfig()
+
+    @staticmethod
+    def ycb(**kw) -> "Config":
+        return Config(dataset=DatasetConfig(name="ycb", **kw))
+
+    @staticmethod
+    def linemod(cls_type: str = "ape", **kw) -> "Config":
+        return Config(
+            dataset=DatasetConfig(name="linemod", cls_type=cls_type, **kw),
+            model=ModelConfig(n_classes=2),
+        )
+
+
+def replace(cfg, **kw):
+    """Functional update helper for any config dataclass."""
+    return dataclasses.replace(cfg, **kw)

@@ -1,0 +1,127 @@
+"""Pose-accuracy metrics: ADD, ADD-S, VOCap AUC, threshold accuracy.
+
+TPU-native, batched equivalents of the reference's per-frame CUDA/numpy
+metrics (pvn3d/lib/utils/basic_utils.py:32-44 VOCap, :597-604 cal_auc,
+:617-635 cal_add_cuda / cal_adds_cuda).  ADD-S does the N x N nearest-point
+min as a chunked distance computation so meshes of a few thousand points stay
+in VMEM-sized tiles; everything supports masks for padded point sets and
+leading batch dimensions so whole eval batches run as one XLA program.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pvn3d_tpu.geometry.se3 import transform_points
+
+
+def cal_add(pred_pose: jnp.ndarray, gt_pose: jnp.ndarray, pts: jnp.ndarray,
+            mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """ADD: mean distance between mesh points under predicted vs GT pose.
+
+    Reference: basic_utils.py:617-623. Batched over leading dims; ``mask``
+    (..., N) marks valid (non-pad) mesh points.
+    """
+    pred = transform_points(pred_pose, pts)
+    gt = transform_points(gt_pose, pts)
+    dis = jnp.linalg.norm(pred - gt, axis=-1)
+    if mask is None:
+        return dis.mean(axis=-1)
+    m = mask.astype(jnp.float32)
+    return (dis * m).sum(axis=-1) / jnp.maximum(m.sum(axis=-1), 1e-9)
+
+
+def cal_adds(pred_pose: jnp.ndarray, gt_pose: jnp.ndarray, pts: jnp.ndarray,
+             mask: jnp.ndarray | None = None,
+             chunk: int = 512) -> jnp.ndarray:
+    """ADD-S: symmetric variant; per GT point, distance to the nearest
+    predicted point, averaged (reference: basic_utils.py:625-635).
+
+    The (N, N) distance matrix is computed in ``chunk``-row tiles with the
+    |a|^2 + |b|^2 - 2ab MXU-friendly expansion.
+    """
+    pred = transform_points(pred_pose, pts)     # (..., N, 3)
+    gt = transform_points(gt_pose, pts)         # (..., N, 3)
+    n = pts.shape[-2]
+    if mask is None:
+        mask = jnp.ones(pred.shape[:-1], jnp.float32)
+    m = mask.astype(jnp.float32)
+
+    pred_sq = jnp.sum(pred * pred, axis=-1)     # (..., N)
+    big = jnp.float32(1e12)
+    # Invalid predicted points must never be the argmin.
+    pred_sq_inf = jnp.where(m > 0, pred_sq, big)
+
+    n_chunks = max(1, -(-n // chunk))
+    pad = n_chunks * chunk - n
+    if pad:
+        gt_p = jnp.concatenate(
+            [gt, jnp.zeros(gt.shape[:-2] + (pad, 3), gt.dtype)], axis=-2)
+    else:
+        gt_p = gt
+    gt_chunks = jnp.moveaxis(
+        gt_p.reshape(gt.shape[:-2] + (n_chunks, chunk, 3)), -3, 0)
+
+    def body(gt_c):
+        # gt_c: (..., chunk, 3)
+        gt_sq = jnp.sum(gt_c * gt_c, axis=-1)   # (..., chunk)
+        cross = jnp.einsum("...ic,...jc->...ij", gt_c, pred,
+                           preferred_element_type=jnp.float32)
+        d2 = gt_sq[..., :, None] - 2.0 * cross + pred_sq_inf[..., None, :]
+        return jnp.min(d2, axis=-1)             # (..., chunk)
+
+    mins = jax.lax.map(body, gt_chunks)         # (n_chunks, ..., chunk)
+    mins = jnp.moveaxis(mins, 0, -2).reshape(gt.shape[:-2] + (n_chunks * chunk,))
+    mins = mins[..., :n]
+    mdis = jnp.sqrt(jnp.maximum(mins, 0.0))
+    return (mdis * m).sum(axis=-1) / jnp.maximum(m.sum(axis=-1), 1e-9)
+
+
+def voc_ap(rec: np.ndarray, prec: np.ndarray) -> float:
+    """VOCap average precision over the [0, 0.1] recall-distance range.
+
+    Host-side numpy (runs once per eval, on accumulated distance lists);
+    exact semantics of basic_utils.py:32-44.
+    """
+    rec = np.asarray(rec, np.float64)
+    prec = np.asarray(prec, np.float64)
+    idx = np.where(rec != np.inf)[0]
+    if len(idx) == 0:
+        return 0.0
+    rec = rec[idx]
+    prec = prec[idx]
+    mrec = np.concatenate([[0.0], rec, [0.1]])
+    mpre = np.concatenate([[0.0], prec, [prec[-1]]])
+    for i in range(1, mpre.shape[0]):
+        mpre[i] = max(mpre[i], mpre[i - 1])
+    i = np.where(mrec[1:] != mrec[:-1])[0] + 1
+    return float(np.sum((mrec[i] - mrec[i - 1]) * mpre[i]) * 10)
+
+
+def cal_auc(add_dis, max_dis: float = 0.1) -> float:
+    """AUC (x100) of the accuracy-vs-distance curve up to ``max_dis``.
+
+    Exact semantics of basic_utils.py:597-604: distances above the threshold
+    become +inf, accuracy is the CDF, and VOCap integrates it.
+    """
+    d = np.asarray(add_dis, np.float64).copy()
+    if d.size == 0:
+        return 0.0
+    d[d > max_dis] = np.inf
+    d = np.sort(d)
+    n = len(d)
+    acc = np.cumsum(np.ones(n)) / n
+    return voc_ap(d, acc) * 100.0
+
+
+def add_accuracy_at(add_dis, threshold: float) -> float:
+    """Fraction (x100) of frames with distance < threshold.
+
+    Used for LineMOD ADD-0.1d (reference: pvn3d_eval_utils.py:314-317,
+    threshold = 0.1 * diameter_m).
+    """
+    d = np.asarray(add_dis, np.float64)
+    if d.size == 0:
+        return 0.0
+    return float(np.mean(d < threshold) * 100.0)

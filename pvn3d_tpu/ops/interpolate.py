@@ -1,0 +1,77 @@
+"""3-nearest-neighbor search + inverse-distance-weighted interpolation.
+
+Reference: brute-force running top-3 per unknown point
+(pvn3d/_ext-src/src/interpolate_gpu.cu:8-68) and weighted gather with
+atomicAdd scatter gradients (:70-154), wrapped by PointnetFPModule
+(pointnet2_modules.py:162-206).
+
+Here the (n, m) distance matrix is processed in chunks of unknowns with a
+``lax.top_k`` over the (typically small, <= 2048) known set; interpolation is
+a weighted ``take_along_axis`` (VJP = deterministic scatter-add).  The
+reference returns *distances* (not squared) and computes IDW weights outside
+the kernel (pointnet2_modules.py:183-187); we keep that split.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def three_nn(unknown: jnp.ndarray, known: jnp.ndarray,
+             chunk: int = 2048) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """For each unknown point, its 3 nearest known points.
+
+    Args:
+      unknown: (B, n, 3); known: (B, m, 3).
+
+    Returns:
+      dist (B, n, 3) float32 euclidean distances, idx (B, n, 3) int32 —
+      sorted ascending, matching interpolate_gpu.cu's running-min order.
+    """
+    return jax.vmap(lambda u, k: _three_nn_single(u, k, chunk))(
+        unknown, known)
+
+
+def _three_nn_single(unknown, known, chunk):
+    n = unknown.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    u = jnp.pad(unknown, ((0, pad), (0, 0))) if pad else unknown
+    u = u.reshape(n_chunks, chunk, 3)
+    k_sq = jnp.sum(known * known, axis=-1)               # (m,)
+
+    def body(u_c):
+        u_sq = jnp.sum(u_c * u_c, axis=-1)               # (chunk,)
+        cross = u_c @ known.T                            # (chunk, m)
+        d2 = u_sq[:, None] - 2.0 * cross + k_sq[None, :]
+        neg_top, idx = jax.lax.top_k(-d2, 3)
+        return jnp.sqrt(jnp.maximum(-neg_top, 0.0)), idx.astype(jnp.int32)
+
+    dist, idx = jax.lax.map(body, u)
+    dist = dist.reshape(n_chunks * chunk, 3)[:n]
+    idx = idx.reshape(n_chunks * chunk, 3)[:n]
+    return dist, idx
+
+
+def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
+                      weight: jnp.ndarray) -> jnp.ndarray:
+    """Weighted 3-NN feature interpolation.
+
+    (B, m, C), (B, n, 3), (B, n, 3) -> (B, n, C), channels-last
+    (reference is channels-first, interpolate_gpu.cu:70-97).
+    """
+    b, m, c = features.shape
+    _, n, _ = idx.shape
+    flat = idx.reshape(b, n * 3, 1).astype(jnp.int32)
+    gathered = jnp.take_along_axis(features, flat, axis=1).reshape(b, n, 3, c)
+    return jnp.einsum("bnkc,bnk->bnc", gathered, weight)
+
+
+def idw_weights(dist: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Inverse-distance weights, normalized over the 3 neighbors
+    (reference: pointnet2_modules.py:183-187)."""
+    recip = 1.0 / (dist + eps)
+    return recip / jnp.sum(recip, axis=-1, keepdims=True)
