@@ -1,0 +1,108 @@
+"""PointNet++ MSG semantic-segmentation trunk (flax.linen, channels-last).
+
+Capability match for the reference's Pointnet2MSG (pvn3d/lib/pvn3d.py:46-154)
+built on the TPU-native op suite (pvn3d_tpu.ops): four set-abstraction levels
+with multi-scale ball-query grouping + shared MLP + max pool, then four
+feature-propagation levels with 3-NN inverse-distance interpolation.  Exact
+widths/radii/nsamples of the reference (pvn3d.py:67-118) come from the config
+tree.  Grouped tensors are (B, npoint, nsample, C): the shared MLPs are Dense
+contractions on the trailing axis — large batched MXU matmuls.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pvn3d_tpu.config import PointNet2Config, SALevelConfig
+from pvn3d_tpu.models.layers import SharedMLP
+from pvn3d_tpu.ops import (
+    furthest_point_sample, gather_points, query_and_group, three_nn,
+    three_interpolate,
+)
+from pvn3d_tpu.ops.interpolate import idw_weights
+
+
+class SetAbstractionMSG(nn.Module):
+    """One SA level: FPS centroids + per-radius group/MLP/max-pool.
+
+    Reference: _PointnetSAModuleBase.forward + PointnetSAModuleMSG
+    (pointnet2_modules.py:27-112).
+    """
+    level: SALevelConfig
+    use_xyz: bool = True
+    train: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, bn_momentum=0.1):
+        # FPS runs on f32 coordinates; indices are reused for every scale.
+        idx = furthest_point_sample(xyz, self.level.npoint)
+        new_xyz = gather_points(xyz, idx)
+        outs = []
+        for i, (radius, nsample, widths) in enumerate(zip(
+                self.level.radii, self.level.nsamples, self.level.mlps)):
+            grouped = query_and_group(
+                radius, nsample, xyz, new_xyz, features,
+                use_xyz=self.use_xyz)             # (B, np, ns, 3+C)
+            grouped = grouped.astype(self.dtype)
+            feat = SharedMLP(widths, train=self.train, dtype=self.dtype,
+                             name=f"mlp{i}")(grouped, bn_momentum)
+            outs.append(jnp.max(feat, axis=2))    # (B, np, width)
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class FeaturePropagation(nn.Module):
+    """One FP level: 3-NN IDW interpolation + skip concat + shared MLP.
+
+    Reference: PointnetFPModule (pointnet2_modules.py:146-206).
+    """
+    widths: Sequence[int]
+    train: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
+                 bn_momentum=0.1):
+        dist, idx = three_nn(unknown_xyz, known_xyz)
+        w = idw_weights(dist)
+        interp = three_interpolate(
+            known_feats.astype(jnp.float32), idx, w).astype(self.dtype)
+        if unknown_feats is not None:
+            interp = jnp.concatenate(
+                [interp, unknown_feats.astype(self.dtype)], axis=-1)
+        return SharedMLP(self.widths, train=self.train, dtype=self.dtype,
+                         name="mlp")(interp, bn_momentum)
+
+
+class PointNet2MSG(nn.Module):
+    """Full SA/FP trunk: (B, N, 3 + C_in) -> (B, N, fp_mlps[0][-1])."""
+    cfg: PointNet2Config
+    train: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pointcloud, bn_momentum=0.1) -> jnp.ndarray:
+        xyz = pointcloud[..., :3].astype(jnp.float32)
+        features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
+
+        l_xyz = [xyz]
+        l_feats = [features]
+        for li, level in enumerate(self.cfg.sa_levels):
+            nxyz, nfeat = SetAbstractionMSG(
+                level=level, use_xyz=self.cfg.use_xyz, train=self.train,
+                dtype=self.dtype, name=f"sa{li}")(
+                    l_xyz[li], l_feats[li], bn_momentum)
+            l_xyz.append(nxyz)
+            l_feats.append(nfeat)
+
+        # Propagate coarsest -> finest (reference: pvn3d.py:149-152).
+        n_levels = len(self.cfg.sa_levels)
+        for li in range(n_levels - 1, -1, -1):
+            l_feats[li] = FeaturePropagation(
+                widths=self.cfg.fp_mlps[li], train=self.train,
+                dtype=self.dtype, name=f"fp{li}")(
+                    l_xyz[li], l_xyz[li + 1], l_feats[li], l_feats[li + 1],
+                    bn_momentum)
+        return l_feats[0]

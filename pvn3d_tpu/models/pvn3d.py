@@ -1,0 +1,146 @@
+"""The full PVN3D-class model: CNN + PointNet++ + DenseFusion + 3 heads.
+
+Capability match for the reference's PVN3D (pvn3d/lib/pvn3d.py:210-310):
+  * image branch -> per-pixel 128-d embeddings, gathered at the ``choose``
+    pixel of every sampled 3-D point;
+  * point branch -> per-point 128-d embeddings from xyz+rgb+normal;
+  * DenseFusion (pvn3d.py:157-182): per-point concat + per-modality lift +
+    global pooled context = 1792-d fused features;
+  * three per-point heads: semantic seg, keypoint offsets, center offset.
+
+Everything is channels-last; heads are Dense stacks on the trailing axis.
+Outputs (matching reference shapes at pvn3d.py:299-309):
+  seg_logits (B, N, n_classes), kp_offsets (B, n_kps, N, 3),
+  ctr_offsets (B, 1, N, 3).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pvn3d_tpu.config import ModelConfig
+from pvn3d_tpu.models.layers import BatchNorm
+from pvn3d_tpu.models.pointnet2 import PointNet2MSG
+from pvn3d_tpu.models.pspnet import PSPNetEmbedding
+
+
+class DenseFusion(nn.Module):
+    """Per-point RGB-D feature fusion (reference: pvn3d.py:157-182)."""
+    train: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb_emb, cld_emb):
+        # rgb_emb, cld_emb: (B, N, 128)
+        feat_1 = jnp.concatenate([rgb_emb, cld_emb], axis=-1)        # 256
+        rgb = nn.relu(nn.Dense(256, dtype=self.dtype,
+                               param_dtype=jnp.float32,
+                               name="conv2_rgb")(rgb_emb))
+        cld = nn.relu(nn.Dense(256, dtype=self.dtype,
+                               param_dtype=jnp.float32,
+                               name="conv2_cld")(cld_emb))
+        feat_2 = jnp.concatenate([rgb, cld], axis=-1)                # 512
+        rgbd = nn.relu(nn.Dense(512, dtype=self.dtype,
+                                param_dtype=jnp.float32,
+                                name="conv3")(feat_1))
+        rgbd = nn.relu(nn.Dense(1024, dtype=self.dtype,
+                                param_dtype=jnp.float32,
+                                name="conv4")(rgbd))
+        global_feat = jnp.mean(rgbd, axis=1, keepdims=True)          # 1024
+        global_feat = jnp.broadcast_to(
+            global_feat, rgbd.shape[:-1] + (1024,))
+        return jnp.concatenate([feat_1, feat_2, global_feat], axis=-1)  # 1792
+
+
+class PredictionHead(nn.Module):
+    """Dense + BN + ReLU stack with a linear output layer.
+
+    Reference: the Seq conv1d head builders (pvn3d.py:245-267).
+    """
+    widths: Sequence[int]
+    out_dim: int
+    train: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bn_momentum=0.1):
+        for i, w in enumerate(self.widths):
+            x = nn.Dense(w, dtype=self.dtype, param_dtype=jnp.float32,
+                         name=f"dense{i}")(x)
+            x = BatchNorm(use_running_average=not self.train,
+                          dtype=self.dtype, name=f"bn{i}")(x, bn_momentum)
+            x = nn.relu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="out")(x)
+
+
+class PVN3D(nn.Module):
+    cfg: ModelConfig
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, pointcloud, rgb, choose, bn_momentum=0.1):
+        """Forward pass.
+
+        Args:
+          pointcloud: (B, N, 9) xyz + per-point rgb + normal.
+          rgb: (B, H, W, 3) normalized image.
+          choose: (B, N) int32 flat pixel index of each sampled point.
+          bn_momentum: torch-convention BN momentum (scheduled input).
+
+        Returns:
+          dict with ``seg_logits`` (B, N, n_classes) raw logits,
+          ``kp_offsets`` (B, n_kps, N, 3), ``ctr_offsets`` (B, 1, N, 3),
+          ``rgb_seg`` (B, H, W, n_classes) auxiliary image-space log-probs.
+        """
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        b, n, _ = pointcloud.shape
+
+        emb_map, rgb_seg = PSPNetEmbedding(
+            n_classes=cfg.n_classes, sizes=cfg.cnn.psp_sizes,
+            psp_out=cfg.cnn.psp_out, up_channels=cfg.cnn.up_channels,
+            embedding_dim=cfg.cnn.embedding_dim,
+            dropout_psp=cfg.cnn.dropout_psp, dropout_up=cfg.cnn.dropout_up,
+            backbone_layers=cfg.cnn.backbone_layers,
+            train=self.train, dtype=dtype, name="cnn")(
+                rgb.astype(dtype), bn_momentum)
+
+        # Gather the per-pixel embedding of every sampled point
+        # (reference: pvn3d.py:288-292, channels-last here).
+        h, w, di = emb_map.shape[1], emb_map.shape[2], emb_map.shape[3]
+        emb_flat = emb_map.reshape(b, h * w, di)
+        rgb_emb = jnp.take_along_axis(
+            emb_flat, choose[..., None].astype(jnp.int32), axis=1)
+
+        cld_emb = PointNet2MSG(cfg=cfg.pointnet2, train=self.train,
+                               dtype=dtype, name="pointnet2")(
+                                   pointcloud, bn_momentum)
+
+        fused = DenseFusion(train=self.train, dtype=dtype,
+                            name="fusion")(rgb_emb, cld_emb)
+
+        seg = PredictionHead(cfg.seg_head, cfg.n_classes, train=self.train,
+                             dtype=dtype, name="seg_head")(fused, bn_momentum)
+        kp_of = PredictionHead(cfg.kp_head, cfg.n_keypoints * 3,
+                               train=self.train, dtype=dtype,
+                               name="kp_head")(fused, bn_momentum)
+        ctr_of = PredictionHead(cfg.ctr_head, 3, train=self.train,
+                                dtype=dtype, name="ctr_head")(
+                                    fused, bn_momentum)
+
+        # (B, N, n_kps*3) -> (B, n_kps, N, 3); the reference's reshape path
+        # (pvn3d.py:300-309) goes through (bs, n_kps, 3, N) channels-first —
+        # same layout contract at the output.
+        kp_offsets = kp_of.reshape(b, n, cfg.n_keypoints, 3)
+        kp_offsets = jnp.transpose(kp_offsets, (0, 2, 1, 3))
+        ctr_offsets = ctr_of.reshape(b, n, 1, 3)
+        ctr_offsets = jnp.transpose(ctr_offsets, (0, 2, 1, 3))
+        return {
+            "seg_logits": seg.astype(jnp.float32),
+            "kp_offsets": kp_offsets.astype(jnp.float32),
+            "ctr_offsets": ctr_offsets.astype(jnp.float32),
+            "rgb_seg": rgb_seg,
+        }

@@ -1,0 +1,197 @@
+"""Shape/semantics tests for the model stack on tiny inputs.
+
+Small image (64x64) and point counts so the full forward runs in seconds on
+the CPU test platform; the architecture widths are still the real ones.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pvn3d_tpu import config as C
+from pvn3d_tpu.models.layers import (
+    BatchNorm, SharedMLP, adaptive_avg_pool, resize_bilinear)
+from pvn3d_tpu.models.losses import focal_loss, offset_l1_loss, seg_accuracy
+
+
+def small_config(n_classes=5, n_kps=8):
+    """Real layer structure, reduced point counts for test speed."""
+    pn2 = C.PointNet2Config(
+        sa_levels=(
+            C.SALevelConfig(64, (0.1, 0.2), (8, 16), ((8, 16), (8, 16))),
+            C.SALevelConfig(16, (0.2, 0.4), (8, 16), ((16, 32), (16, 32))),
+        ),
+        fp_mlps=((32, 32), (64, 64)),
+    )
+    return C.ModelConfig(
+        n_classes=n_classes, n_keypoints=n_kps, n_sample_points=128,
+        pointnet2=pn2, image_height=64, image_width=64,
+        seg_head=(64, 32), kp_head=(64, 32), ctr_head=(64, 32),
+        compute_dtype="float32",
+    )
+
+
+class TestLayers:
+    def test_batchnorm_train_normalizes(self):
+        bn = BatchNorm(use_running_average=False)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 10, 8)) * 5 + 3
+        vars_ = bn.init(jax.random.PRNGKey(1), x)
+        y, mut = bn.apply(vars_, x, 0.5, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y).mean((0, 1)), 0.0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(y).std((0, 1)), 1.0, atol=1e-2)
+        # Torch-convention momentum: running <- (1-m)*run + m*batch.
+        rm = np.asarray(mut["batch_stats"]["BatchNorm_0"]["mean"]) \
+            if "BatchNorm_0" in mut["batch_stats"] else \
+            np.asarray(mut["batch_stats"]["mean"])
+        batch_mean = np.asarray(x).mean((0, 1))
+        np.testing.assert_allclose(rm, 0.5 * batch_mean, atol=1e-4)
+
+    def test_batchnorm_eval_uses_running(self):
+        bn = BatchNorm(use_running_average=True)
+        x = jnp.ones((2, 4, 3)) * 7
+        vars_ = bn.init(jax.random.PRNGKey(0), x)
+        y = bn.apply(vars_, x)
+        # running mean 0, var 1 -> output ~= input.
+        np.testing.assert_allclose(np.asarray(y), 7.0, atol=1e-2)
+
+    def test_resize_bilinear_matches_numpy_align_corners(self):
+        x = jnp.arange(16.0).reshape(1, 4, 4, 1)
+        y = np.asarray(resize_bilinear(x, 7, 7, align_corners=True))[0, :, :, 0]
+        # corners preserved under align_corners
+        assert y[0, 0] == 0.0 and y[-1, -1] == 15.0
+        assert abs(y[3, 3] - 7.5) < 1e-5  # center
+
+    def test_resize_identity(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 6, 3))
+        y = resize_bilinear(x, 5, 6, align_corners=False)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_adaptive_pool_matches_torch_binning(self):
+        # 80 -> 6 bins: torch uses floor/ceil bin edges.
+        x = jnp.arange(80.0).reshape(1, 1, 80, 1)
+        y = np.asarray(adaptive_avg_pool(x, 1, 6))[0, 0, :, 0]
+        edges = [(i * 80 // 6, -((-(i + 1) * 80) // 6)) for i in range(6)]
+        expect = [np.arange(lo, hi).mean() for lo, hi in edges]
+        np.testing.assert_allclose(y, expect, atol=1e-5)
+
+    def test_shared_mlp_shapes(self):
+        mlp = SharedMLP((16, 32), train=True)
+        x = jnp.ones((2, 8, 4, 6))
+        vars_ = mlp.init(jax.random.PRNGKey(0), x)
+        y, _ = mlp.apply(vars_, x, 0.9, mutable=["batch_stats"])
+        assert y.shape == (2, 8, 4, 32)
+
+
+class TestLosses:
+    def test_focal_matches_ce_at_gamma0(self):
+        key = jax.random.PRNGKey(0)
+        logits = jax.random.normal(key, (4, 10, 5))
+        labels = jax.random.randint(jax.random.PRNGKey(1), (4, 10), 0, 5)
+        fl = float(focal_loss(logits, labels, gamma=0.0))
+        logp = jax.nn.log_softmax(logits, -1)
+        ce = -np.take_along_axis(np.asarray(logp),
+                                 np.asarray(labels)[..., None], -1).mean()
+        assert abs(fl - ce) < 1e-5
+
+    def test_focal_downweights_easy(self):
+        easy = jnp.array([[[4.0, -4.0]]])
+        hard = jnp.array([[[0.5, -0.5]]])
+        lab = jnp.array([[0]])
+        # gamma>0 shrinks easy-example loss far more than hard-example loss.
+        ratio_easy = float(focal_loss(easy, lab, 2.0) / focal_loss(easy, lab, 0.0))
+        ratio_hard = float(focal_loss(hard, lab, 2.0) / focal_loss(hard, lab, 0.0))
+        assert ratio_easy < ratio_hard
+
+    def test_offset_l1_oracle(self):
+        rng = np.random.RandomState(0)
+        b, nk, n = 2, 3, 16
+        pred = rng.randn(b, nk, n, 3).astype(np.float32)
+        tgt = rng.randn(b, n, nk, 3).astype(np.float32)
+        labels = (rng.rand(b, n) > 0.5).astype(np.float32) * 3
+        ours = float(offset_l1_loss(jnp.asarray(pred), jnp.asarray(tgt),
+                                    jnp.asarray(labels)))
+        # numpy oracle with the reference's exact normalization
+        w = (labels > 1e-8).astype(np.float32)
+        tgt_t = tgt.transpose(0, 2, 1, 3)
+        diff = np.abs(pred - tgt_t) * w[:, None, :, None]
+        per_kp = diff.sum((2, 3)) / (w.sum(1)[:, None] + 1e-3)
+        assert abs(ours - per_kp.sum()) < 1e-4
+
+    def test_offset_l1_masks_background(self):
+        pred = jnp.ones((1, 2, 8, 3)) * 100.0
+        tgt = jnp.zeros((1, 8, 2, 3))
+        labels = jnp.zeros((1, 8))
+        assert float(offset_l1_loss(pred, tgt, labels)) == 0.0
+
+    def test_seg_accuracy(self):
+        logits = jnp.array([[[1.0, 0.0], [0.0, 1.0]]])
+        labels = jnp.array([[0, 0]])
+        assert float(seg_accuracy(logits, labels)) == 0.5
+
+
+class TestPVN3D:
+    @pytest.fixture(scope="class")
+    def model_and_vars(self):
+        from pvn3d_tpu.models import PVN3D
+        cfg = small_config()
+        model = PVN3D(cfg=cfg, train=False)
+        b, n = 1, cfg.n_sample_points
+        key = jax.random.PRNGKey(0)
+        pcld = jax.random.normal(key, (b, n, 9)) * 0.3
+        rgb = jax.random.normal(jax.random.PRNGKey(1), (b, 64, 64, 3))
+        choose = jax.random.randint(jax.random.PRNGKey(2), (b, n), 0, 64 * 64)
+        vars_ = model.init(jax.random.PRNGKey(3), pcld, rgb, choose)
+        return model, vars_, cfg, (pcld, rgb, choose)
+
+    def test_forward_shapes(self, model_and_vars):
+        model, vars_, cfg, (pcld, rgb, choose) = model_and_vars
+        out = model.apply(vars_, pcld, rgb, choose)
+        b, n = pcld.shape[0], pcld.shape[1]
+        assert out["seg_logits"].shape == (b, n, cfg.n_classes)
+        assert out["kp_offsets"].shape == (b, cfg.n_keypoints, n, 3)
+        assert out["ctr_offsets"].shape == (b, 1, n, 3)
+        assert out["rgb_seg"].shape == (b, 64, 64, cfg.n_classes)
+        for v in out.values():
+            assert np.all(np.isfinite(np.asarray(v)))
+
+    def test_fusion_dim(self, model_and_vars):
+        # The fused feature must be 1792-d with the real config widths
+        # (256 + 512 + 1024, reference pvn3d.py:182).
+        from pvn3d_tpu.models.pvn3d import DenseFusion
+        df = DenseFusion(train=False)
+        r = jnp.ones((1, 16, 128))
+        c = jnp.ones((1, 16, 128))
+        vars_ = df.init(jax.random.PRNGKey(0), r, c)
+        y = df.apply(vars_, r, c)
+        assert y.shape == (1, 16, 1792)
+
+    def test_train_mode_mutates_stats(self, model_and_vars):
+        from pvn3d_tpu.models import PVN3D
+        _, vars_, cfg, (pcld, rgb, choose) = model_and_vars
+        model_t = PVN3D(cfg=cfg, train=True)
+        out, mut = model_t.apply(
+            vars_, pcld, rgb, choose, 0.9,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(4)})
+        assert "batch_stats" in mut
+        leaves = jax.tree_util.tree_leaves(mut["batch_stats"])
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+    def test_grad_flows(self, model_and_vars):
+        from pvn3d_tpu.models import PVN3D
+        _, vars_, cfg, (pcld, rgb, choose) = model_and_vars
+        model_t = PVN3D(cfg=cfg, train=True)
+        labels = jnp.zeros((1, cfg.n_sample_points), jnp.int32)
+
+        def loss_fn(params):
+            out, _ = model_t.apply(
+                {"params": params, "batch_stats": vars_["batch_stats"]},
+                pcld, rgb, choose, 0.9, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(5)})
+            return focal_loss(out["seg_logits"], labels)
+
+        grads = jax.grad(loss_fn)(vars_["params"])
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+        # at least one nonzero grad in each branch
+        norms = [float(jnp.abs(g).max()) for g in flat]
+        assert max(norms) > 0
