@@ -1,0 +1,116 @@
+"""Batched masked MeanShift clustering.
+
+The reference clusters votes sequentially — one `MeanShiftTorch.fit` per
+class and per keypoint inside Python loops and a thread pool
+(pvn3d/lib/utils/pvn3d_eval_utils.py:83-97, meanshift_pytorch.py:24-51).
+Here every (class, keypoint-or-center) hypothesis is one row of a padded
+(H, K, 3) problem batch and the Gaussian fixed-point iteration runs for all
+hypotheses simultaneously inside one jitted program, chunked so only
+(chunk, K, K) distance tiles are ever materialized.
+
+Exact reference semantics reproduced (meanshift_pytorch.py:24-51):
+  * every point is a seed; iterate C_i <- sum_j w_ij A_j / sum_j w_ij with
+    w_ij = N(||C_i - A_j||; bw) until max ||ΔC|| < bw*1e-3 or max_iter;
+  * the winning seed maximizes the count of points within ``bandwidth`` of
+    its ORIGINAL position (the reference computes `num_in` on A, not C —
+    meanshift_pytorch.py:45-48);
+  * returned center = converged mode of the winning seed; returned labels =
+    points within ``bandwidth`` of the winning seed's original position.
+
+Masking: ``mask`` marks valid (non-pad) points per hypothesis.  Invalid
+points get zero kernel weight and can never win the seed vote.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_SQRT_2PI = 2.5066282746310002
+
+
+def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(..., I, 3), (..., J, 3) -> (..., I, J) squared distances."""
+    a_sq = jnp.sum(a * a, axis=-1)
+    b_sq = jnp.sum(b * b, axis=-1)
+    cross = jnp.einsum("...ic,...jc->...ij", a, b,
+                       preferred_element_type=jnp.float32)
+    return jnp.maximum(a_sq[..., :, None] - 2.0 * cross + b_sq[..., None, :],
+                       0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "chunk"))
+def mean_shift_fit(points: jnp.ndarray, mask: jnp.ndarray,
+                   bandwidth: float, max_iter: int = 300,
+                   chunk: int = 16):
+    """Run masked MeanShift on a batch of padded point sets.
+
+    Args:
+      points: (H, K, 3) float32 — H independent clustering problems.
+      mask: (H, K) bool validity.
+      bandwidth: kernel bandwidth (reference radius=0.08 for votes).
+      max_iter: iteration cap (reference: 300).
+      chunk: hypotheses processed per distance-tile chunk.
+
+    Returns:
+      centers (H, 3): winning mode per problem;
+      labels (H, K) bool: in-bandwidth membership of the winning cluster;
+      counts (H,) int32: winning cluster size.
+    """
+    h, k, _ = points.shape
+    n_chunks = -(-h // chunk)
+    pad = n_chunks * chunk - h
+    pts = jnp.pad(points.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
+    msk = jnp.pad(mask.astype(bool), ((0, pad), (0, 0)))
+    pts_c = pts.reshape(n_chunks, chunk, k, 3)
+    msk_c = msk.reshape(n_chunks, chunk, k)
+
+    fn = functools.partial(_fit_chunk, bandwidth=bandwidth,
+                           max_iter=max_iter)
+    centers, labels, counts = jax.lax.map(fn, (pts_c, msk_c))
+    centers = centers.reshape(n_chunks * chunk, 3)[:h]
+    labels = labels.reshape(n_chunks * chunk, k)[:h]
+    counts = counts.reshape(n_chunks * chunk)[:h]
+    return centers, labels, counts
+
+
+def _fit_chunk(args, *, bandwidth: float, max_iter: int):
+    a, mask = args                           # (c, K, 3), (c, K)
+    bw = jnp.float32(bandwidth)
+    stop = bw * 1e-3
+    inv_norm = 1.0 / (bw * _SQRT_2PI)
+    wmask = mask.astype(jnp.float32)[:, None, :]     # (c, 1, K)
+
+    def shift_once(c_pts):
+        d2 = _pairwise_sqdist(c_pts, a)               # (c, K, K)
+        w = inv_norm * jnp.exp(-0.5 * d2 / (bw * bw)) * wmask
+        wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-20)
+        return jnp.einsum("cij,cjd->cid", w, a) / wsum
+
+    def cond(carry):
+        _, it, max_shift = carry
+        return (max_shift >= stop) & (it < max_iter)
+
+    def body(carry):
+        c_pts, it, _ = carry
+        new_c = shift_once(c_pts)
+        shift = jnp.linalg.norm(new_c - c_pts, axis=-1)
+        # Pad/invalid seeds contribute zero shift to the convergence test.
+        shift = jnp.where(mask, shift, 0.0)
+        return new_c, it + 1, jnp.max(shift)
+
+    # The reference's do-while always runs >= 1 iteration.
+    c0, it0, s0 = body((a, jnp.int32(0), jnp.float32(jnp.inf)))
+    c_final, _, _ = jax.lax.while_loop(cond, body, (c0, it0, s0))
+
+    # Winner: seed with most valid points within bw of its ORIGINAL position.
+    d2_orig = _pairwise_sqdist(a, a)
+    in_bw = (d2_orig < bw * bw) & mask[:, None, :] & mask[:, :, None]
+    num_in = jnp.sum(in_bw, axis=-1).astype(jnp.int32)   # (c, K)
+    win = jnp.argmax(num_in, axis=-1)                    # (c,)
+    centers = jnp.take_along_axis(
+        c_final, win[:, None, None], axis=1)[:, 0, :]
+    labels = jnp.take_along_axis(in_bw, win[:, None, None], axis=1)[:, 0, :]
+    counts = jnp.take_along_axis(num_in, win[:, None], axis=1)[:, 0]
+    return centers, labels, counts

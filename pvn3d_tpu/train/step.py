@@ -1,0 +1,81 @@
+"""The jitted train / eval steps.
+
+One functional step = forward + focal/offset losses (weights [2, 1, 1],
+reference: train_ycb_pvn3d.py:172-189) + grads + Adam update + BN stat
+update.  Under a dp-sharded batch, XLA's GSPMD partitioner inserts the
+gradient all-reduce and makes the BN batch statistics global — the
+reference's DataParallel scatter/gather and 728-LoC SyncBN machinery
+(sync_batchnorm/) have no counterpart here at all.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pvn3d_tpu.config import Config
+from pvn3d_tpu.models.losses import focal_loss, offset_l1_loss, seg_accuracy
+from pvn3d_tpu.train.schedule import bn_momentum_at
+from pvn3d_tpu.train.state import TrainState
+
+
+def compute_losses(cfg: Config, outputs: Dict[str, jnp.ndarray],
+                   batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Weighted total + components (reference: train_ycb_pvn3d.py:172-189)."""
+    labels = batch["labels"]
+    seg = focal_loss(outputs["seg_logits"], labels,
+                     gamma=cfg.train.focal_gamma)
+    kp = offset_l1_loss(outputs["kp_offsets"], batch["kp_targ_ofst"], labels)
+    ctr = offset_l1_loss(outputs["ctr_offsets"], batch["ctr_targ_ofst"],
+                         labels)
+    w = cfg.train.loss_weights
+    total = w[0] * seg + w[1] * kp + w[2] * ctr
+    return {
+        "loss": total, "loss_seg": seg, "loss_kp": kp, "loss_ctr": ctr,
+        "acc_rgbd": seg_accuracy(outputs["seg_logits"], labels),
+    }
+
+
+def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
+                    ) -> Callable[[TrainState, Dict[str, Any], jax.Array],
+                                  tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    def train_step(state: TrainState, batch, rng):
+        bn_m = bn_momentum_at(state.step, cfg.train)
+        drop_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["pointcloud"], batch["rgb"], batch["choose"], bn_m,
+                mutable=["batch_stats"], rngs={"dropout": drop_rng})
+            metrics = compute_losses(cfg, outputs, batch)
+            return metrics["loss"], (mutated["batch_stats"], metrics)
+
+        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, batch_stats=new_stats,
+            opt_state=opt_state)
+        metrics = dict(metrics, bn_momentum=bn_m)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config, model):
+    """Forward + losses with running BN stats, no dropout, no update
+    (reference: Trainer.eval_epoch, train_ycb_pvn3d.py:261-290)."""
+    eval_model = model.clone(train=False)
+
+    def eval_step(state: TrainState, batch):
+        outputs = eval_model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["pointcloud"], batch["rgb"], batch["choose"])
+        metrics = compute_losses(cfg, outputs, batch)
+        return outputs, metrics
+
+    return eval_step

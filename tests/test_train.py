@@ -1,0 +1,92 @@
+"""Train step, schedules, and mesh sharding."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pvn3d_tpu.config import Config, TrainConfig
+from pvn3d_tpu.data.synthetic import synthetic_batch
+from pvn3d_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from pvn3d_tpu.train.schedule import bn_momentum_at, cyclic_lr
+from pvn3d_tpu.train.state import create_train_state, param_count
+from pvn3d_tpu.train.step import make_eval_step, make_train_step
+
+import __graft_entry__ as graft
+
+
+def _np_cyclic(it, base, mx, ss):
+    # Oracle: reference warmup_scheduler/scheduler.py:255-263.
+    cycle = np.floor(1 + it / (2 * ss))
+    x = np.abs(it / ss - 2 * cycle + 1)
+    return base + (mx - base) * np.maximum(0, 1 - x)
+
+
+def test_cyclic_lr_matches_reference_formula():
+    base, mx, ss = 1e-5, 1e-3, 25 * 4000 // 6
+    for it in [0, 1, 100, ss // 2, ss, ss + 7, 2 * ss, 3 * ss + 11, 99999]:
+        got = float(cyclic_lr(it, base, mx, ss))
+        want = float(_np_cyclic(it, base, mx, ss))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_bn_momentum_matches_reference_formula():
+    cfg = TrainConfig()
+    # Oracle: train_ycb_pvn3d.py:477-484 (int() floors the exponent).
+    for it in [0, 100, 5000, 8333, 8334, 20000, 100000, 10**6]:
+        want = max(0.9 * 0.5 ** int(it * cfg.mini_batch_size / 2e5), 1e-2)
+        got = float(bn_momentum_at(it, cfg))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_train_step_runs_and_learns():
+    cfg = graft._tiny_config()
+    batch = synthetic_batch(cfg, batch_size=2,
+                            n_points=cfg.model.n_sample_points,
+                            height=64, width=64)
+    rng = jax.random.PRNGKey(0)
+    state, model, tx = create_train_state(cfg, rng, batch)
+    assert param_count(state.params) > 1e5
+    step = jax.jit(make_train_step(cfg, model, tx))
+    state, m0 = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m0["loss"]))
+    for _ in range(4):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert float(m["loss"]) < float(m0["loss"])
+    assert int(state.step) == 5
+    # BN running stats must have moved.
+    leaves = jax.tree_util.tree_leaves(state.batch_stats)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_eval_step_shapes():
+    cfg = graft._tiny_config()
+    batch = synthetic_batch(cfg, batch_size=2,
+                            n_points=cfg.model.n_sample_points,
+                            height=64, width=64)
+    state, model, tx = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    ev = jax.jit(make_eval_step(cfg, model))
+    out, metrics = ev(state, batch)
+    n = cfg.model.n_sample_points
+    assert out["seg_logits"].shape == (2, n, cfg.model.n_classes)
+    assert out["kp_offsets"].shape == (2, cfg.model.n_keypoints, n, 3)
+    assert out["ctr_offsets"].shape == (2, 1, n, 3)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dp_sp_sharded_step_matches_single_device():
+    cfg = graft._tiny_config()
+    batch = synthetic_batch(cfg, batch_size=4,
+                            n_points=cfg.model.n_sample_points,
+                            height=64, width=64)
+    rng = jax.random.PRNGKey(0)
+    state, model, tx = create_train_state(cfg, rng, batch)
+    step = make_train_step(cfg, model, tx)
+
+    _, m_single = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(dp=4, sp=2)
+    with mesh:
+        state_sh = jax.device_put(state, replicated(mesh))
+        batch_sh = shard_batch(mesh, batch)
+        _, m_mesh = jax.jit(step)(state_sh, batch_sh, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m_single["loss"]),
+                               float(m_mesh["loss"]), rtol=2e-4)
