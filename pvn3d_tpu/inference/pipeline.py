@@ -1,0 +1,118 @@
+"""End-to-end jitted inference: perceive -> vote -> cluster -> fit -> score.
+
+The reference streams each frame through Python: forward, argmax, a
+ThreadPoolExecutor of per-frame `eval_one_frame_pose` calls doing
+sequential MeanShift fits and CPU SVDs (pvn3d_eval_utils.py:345-387).
+Here the entire batch is one XLA program; per-frame work is vmapped and
+per-hypothesis clustering is batched, so a whole eval batch costs one
+device dispatch.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pvn3d_tpu.config import Config
+from pvn3d_tpu.inference.evaluator import PoseEvaluator, eval_frame_metrics
+from pvn3d_tpu.inference.pose import cal_frame_poses
+
+
+def make_pose_fn(cfg: Config, mesh_kps: np.ndarray, radii: np.ndarray,
+                 refine_mask: Optional[bool] = None):
+    """Batched (vmapped) votes -> poses closure.
+
+    mesh_kps: (n_cls, n_kps+1, 3); radii: (n_cls,).
+    """
+    n_cls = cfg.model.n_classes
+    if refine_mask is None:
+        refine_mask = cfg.dataset.name == "ycb"
+    mesh_kps_j = jnp.asarray(mesh_kps, jnp.float32)
+    radii_j = jnp.asarray(radii, jnp.float32)
+    cl = cfg.cluster
+
+    def one_frame(pcld, mask, ctr_of, kp_of):
+        return cal_frame_poses(
+            pcld, mask, ctr_of, kp_of, mesh_kps_j, radii_j,
+            n_cls=n_cls, n_kps=cfg.model.n_keypoints,
+            k=cl.max_points_per_class, bandwidth=cl.bandwidth,
+            max_iter=cl.max_iter, use_ctr=cl.use_ctr,
+            use_ctr_clus_filter=cl.use_ctr_clus_filter,
+            refine_mask=refine_mask)
+
+    return jax.vmap(one_frame)
+
+
+def make_inference_step(cfg: Config, model, variables,
+                        mesh_kps: np.ndarray, radii: np.ndarray,
+                        mesh_pts: Optional[np.ndarray] = None,
+                        mesh_valid: Optional[np.ndarray] = None,
+                        refine_mask: Optional[bool] = None):
+    """Full jitted step: batch dict -> (poses, present, metrics).
+
+    With mesh_pts/mesh_valid given, also returns per-instance ADD/ADD-S
+    against the GT slots in the batch (cls_ids, rts).
+    """
+    pose_fn = make_pose_fn(cfg, mesh_kps, radii, refine_mask=refine_mask)
+    has_metrics = mesh_pts is not None
+    if has_metrics:
+        mesh_pts_j = jnp.asarray(mesh_pts, jnp.float32)
+        mesh_valid_j = jnp.asarray(mesh_valid)
+
+    @jax.jit
+    def step(batch: Dict[str, jnp.ndarray]):
+        outputs = model.apply(variables, batch["pointcloud"], batch["rgb"],
+                              batch["choose"])
+        seg = jnp.argmax(outputs["seg_logits"], axis=-1).astype(jnp.int32)
+        pcld = batch["pointcloud"][..., :3]
+        frame = pose_fn(pcld, seg, outputs["ctr_offsets"],
+                        outputs["kp_offsets"])
+        result = {"poses": frame.poses, "present": frame.present,
+                  "kps": frame.kps, "seg": seg}
+        if has_metrics and "cls_ids" in batch:
+            add, adds = jax.vmap(
+                lambda p, c, r: eval_frame_metrics(
+                    p, c, r, mesh_pts_j, mesh_valid_j)
+            )(frame.poses, batch["cls_ids"], batch["rts"])
+            result["add"] = add
+            result["adds"] = adds
+        return result
+
+    return step
+
+
+def evaluate_dataset(cfg: Config, model, variables, batches,
+                     mesh_kps, radii, mesh_pts, mesh_valid,
+                     ds_type: str = "ycb", obj_id: int = 0,
+                     verbose: bool = False):
+    """Run inference over an iterable of batches and summarize.
+
+    Returns the evaluator summary dict (YCB AUC protocol, or the LineMOD
+    0.1-diameter protocol when ds_type == 'linemod').
+    """
+    step = make_inference_step(cfg, model, variables, mesh_kps, radii,
+                               mesh_pts, mesh_valid)
+    ev = PoseEvaluator(n_cls=cfg.model.n_classes
+                       if ds_type == "ycb" else cfg.model.n_classes,
+                       ds_type=ds_type)
+    if ds_type == "linemod":
+        ev = PoseEvaluator(n_cls=max(cfg.model.n_classes, obj_id + 1),
+                           ds_type=ds_type)
+    for batch in batches:
+        out = step(batch)
+        if "add" not in out:
+            continue
+        cls_ids = np.asarray(batch["cls_ids"])
+        add = np.asarray(out["add"])
+        adds = np.asarray(out["adds"])
+        if ds_type == "linemod":
+            # Single-object frames store class 1; score under obj_id.
+            cls_ids = np.where(cls_ids > 0, obj_id, 0)
+        for b in range(cls_ids.shape[0]):
+            ev.add_frame(cls_ids[b], add[b], adds[b])
+    if ds_type == "linemod":
+        return ev.summarize_linemod(obj_id, verbose=verbose)
+    return ev.summarize(verbose=verbose)

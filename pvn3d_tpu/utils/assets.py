@@ -102,6 +102,53 @@ def load_mesh_points(root: str, cls, ds_type: str = "ycb",
     return pts.astype(np.float32)
 
 
+def stacked_mesh_kps(ds_type: str = "ycb", n_cls: int = 22,
+                     kp_type: str = "farthest") -> np.ndarray:
+    """(n_cls, n_kps+1, 3): per-class mesh keypoints + center, row 0 zero.
+
+    The canonical targets the clustered votes are fit against
+    (reference: cal_frame_poses, pvn3d_eval_utils.py:99-103).
+    """
+    rows = []
+    for cls_id in range(1, n_cls):
+        kps = get_kps(cls_id, kp_type=kp_type, ds_type=ds_type)
+        ctr = get_ctr(cls_id, ds_type=ds_type).reshape(1, 3)
+        rows.append(np.concatenate([kps, ctr], axis=0))
+    out = np.stack(rows, axis=0)
+    return np.concatenate([np.zeros((1,) + out.shape[1:], np.float32), out],
+                          axis=0).astype(np.float32)
+
+
+def stacked_class_radii(ds_type: str = "ycb", n_cls: int = 22) -> np.ndarray:
+    """(n_cls,) per-class cluster radii, row 0 unused (reference:
+    config.ycb_r_lst, pvn3d/common.py:80)."""
+    if ds_type == "ycb":
+        return np.concatenate(
+            [[1.0], np.asarray(C.YCB_RADII, np.float32)]).astype(np.float32)
+    return np.ones((n_cls,), np.float32)
+
+
+def stacked_mesh_points(root: str, ds_type: str = "ycb", n_cls: int = 22,
+                        max_points: int = 2600,
+                        seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """(n_cls, M, 3) padded per-class mesh clouds + (n_cls, M) validity.
+
+    Loaded from a dataset checkout (reference: get_pointxyz,
+    basic_utils.py:497-519; LineMOD subsampled to 2000 points there).
+    """
+    pts_list = [np.zeros((0, 3), np.float32)]
+    for cls_id in range(1, n_cls):
+        pts_list.append(load_mesh_points(root, cls_id, ds_type=ds_type,
+                                         max_points=max_points, seed=seed))
+    m = max(max(len(p) for p in pts_list), 1)
+    out = np.zeros((n_cls, m, 3), np.float32)
+    valid = np.zeros((n_cls, m), bool)
+    for i, p in enumerate(pts_list):
+        out[i, :len(p)] = p
+        valid[i, :len(p)] = True
+    return out, valid
+
+
 def read_ply_vertices(path: str) -> np.ndarray:
     """Minimal ascii/binary-little-endian PLY vertex reader."""
     with open(path, "rb") as f:
