@@ -1,0 +1,122 @@
+"""Frame -> training-sample construction shared by the YCB/LineMOD datasets.
+
+Host-side numpy port of the common tail of the reference's get_item
+(pvn3d/datasets/ycb/ycb_dataset.py:206-306, linemod_dataset.py:243-338):
+depth -> cloud unprojection, per-point color/normal features, fixed-size
+sample-or-wrap-pad to n_sample_points, and GT keypoint/center offset
+construction from the per-object poses.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from pvn3d_tpu.geometry.cloud import depth_to_cloud
+from pvn3d_tpu.data.normals import normals_from_depth_map
+
+
+@dataclasses.dataclass
+class FrameSpec:
+    n_sample_points: int = 12288
+    n_keypoints: int = 8
+    n_min_points: int = 400          # reference: get_item returns None below
+    max_instances: int = 12
+
+
+def sample_point_budget(n_valid: int, n_sample: int,
+                        rng: np.random.RandomState) -> np.ndarray:
+    """Indices selecting exactly ``n_sample`` of ``n_valid`` points.
+
+    Over-budget: random subset without replacement, in index order
+    (the reference shuffles a 0/1 mask then takes nonzeros,
+    ycb_dataset.py:227-231 — same distribution).  Under-budget: wrap-pad
+    (:233).
+    """
+    if n_valid >= n_sample:
+        sel = rng.choice(n_valid, n_sample, replace=False)
+        return np.sort(sel)
+    reps = -(-n_sample // n_valid)
+    return np.tile(np.arange(n_valid), reps)[:n_sample]
+
+
+def build_targets(cld: np.ndarray, labels: np.ndarray,
+                  instances: Sequence[tuple],
+                  spec: FrameSpec):
+    """GT arrays from per-object (cls_id, RT, mesh_kps, mesh_ctr) tuples.
+
+    Offsets are point - transformed_target, written only at the labeled
+    points of each object (reference: ycb_dataset.py:241-278).
+
+    Returns dict with cls_ids (I,), rts (I,3,4), kp_3ds (I,n_kps,3),
+    ctr_3ds (I,3), kp_targ_ofst (N,n_kps,3), ctr_targ_ofst (N,1,3).
+    """
+    n = len(cld)
+    ni = spec.max_instances
+    cls_ids = np.zeros((ni,), np.int32)
+    rts = np.zeros((ni, 3, 4), np.float32)
+    kp3ds = np.zeros((ni, spec.n_keypoints, 3), np.float32)
+    ctr3ds = np.zeros((ni, 3), np.float32)
+    kp_t = np.zeros((n, spec.n_keypoints, 3), np.float32)
+    ctr_t = np.zeros((n, 1, 3), np.float32)
+    for i, (cls_id, rt, kps, ctr) in enumerate(instances[:ni]):
+        r, t = rt[:, :3], rt[:, 3]
+        cls_ids[i] = cls_id
+        rts[i] = rt
+        ctr_cam = ctr @ r.T + t
+        kps_cam = kps @ r.T + t
+        ctr3ds[i] = ctr_cam
+        kp3ds[i] = kps_cam
+        idx = np.flatnonzero(labels == cls_id)
+        ctr_t[idx, 0] = cld[idx] - ctr_cam[None, :]
+        kp_t[idx] = cld[idx, None, :] - kps_cam[None, :, :]
+    return {
+        "cls_ids": cls_ids, "rts": rts, "kp_3ds": kp3ds, "ctr_3ds": ctr3ds,
+        "kp_targ_ofst": kp_t, "ctr_targ_ofst": ctr_t,
+    }
+
+
+def build_frame(rgb: np.ndarray, depth: np.ndarray, label_map: np.ndarray,
+                k: np.ndarray, cam_scale: float, instances: Sequence[tuple],
+                spec: FrameSpec, rng: np.random.RandomState,
+                normals: Optional[np.ndarray] = None):
+    """Full frame -> sample dict (None when too few valid depth pixels).
+
+    ``rgb`` is the (H, W, 3) float image in the dataset's native channel
+    convention and 0-255 range (the reference feeds un-normalized 0-255
+    values to both branches — ycb_dataset.py:215-220 keeps raw pixel
+    values as point features and never applies its `self.norm`).
+    """
+    cld, choose = depth_to_cloud(depth, k, cam_scale)
+    if cld is None or len(choose) < spec.n_min_points:
+        return None
+    if normals is None:
+        normals = normals_from_depth_map(depth, k, cam_scale)
+    nrm = normals.reshape(-1, 3)[choose]
+    rgb_pt = rgb.reshape(-1, 3)[choose].astype(np.float32)
+    labels = label_map.reshape(-1)[choose].astype(np.int32)
+
+    sel = sample_point_budget(len(choose), spec.n_sample_points, rng)
+    cld = cld[sel]
+    rgb_pt = rgb_pt[sel]
+    nrm = nrm[sel]
+    labels = labels[sel]
+    choose = choose[sel].astype(np.int32)
+
+    targets = build_targets(cld, labels, instances, spec)
+    pointcloud = np.concatenate([cld, rgb_pt, nrm], axis=1).astype(np.float32)
+    sample = {
+        "pointcloud": pointcloud,
+        "rgb": rgb.astype(np.float32),
+        "choose": choose,
+        "labels": labels,
+    }
+    sample.update(targets)
+    return sample
+
+
+def collate(samples) -> dict:
+    """Stack a list of sample dicts into one batch dict."""
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}

@@ -1,0 +1,87 @@
+"""Multiprocess batched data loading.
+
+Replaces the reference's torch DataLoader with 60 worker processes
+(train_ycb_pvn3d.py:425-438) with a small process-pool pipeline that
+prefetches collated numpy batches; the jitted step consumes them via
+``jax.device_put`` (or ``make_array_from_process_local_data`` multi-host).
+"""
+from __future__ import annotations
+
+import itertools
+import multiprocessing as mp
+from typing import Iterator, Optional
+
+import numpy as np
+
+from pvn3d_tpu.data.frame import collate
+
+_WORKER_DS = None
+
+
+def _init_worker(dataset_factory, seed):
+    global _WORKER_DS
+    _WORKER_DS = dataset_factory()
+    # Decorrelate augmentation streams across workers.
+    ident = mp.current_process()._identity
+    wid = ident[0] if ident else 0
+    _WORKER_DS.rng = np.random.RandomState(seed + wid)
+
+
+def _fetch(idx):
+    return _WORKER_DS[idx]
+
+
+class DataLoader:
+    """Iterate collated batch dicts from an index-able dataset.
+
+    ``dataset_factory`` must be picklable (a top-level function or partial)
+    so each worker can build its own dataset instance.  With
+    ``num_workers=0`` everything runs inline (tests, debugging).
+    """
+
+    def __init__(self, dataset_factory, batch_size: int,
+                 num_workers: int = 0, seed: int = 0,
+                 steps: Optional[int] = None, shuffle: bool = False,
+                 chunksize: int = 1):
+        self.factory = dataset_factory
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.seed = seed
+        self.steps = steps
+        self.shuffle = shuffle
+        self.chunksize = chunksize
+
+    def _indices(self, n: int) -> Iterator[int]:
+        if self.steps is not None:
+            # Infinite sampling-with-replacement stream (training).
+            rng = np.random.RandomState(self.seed)
+            for _ in range(self.steps * self.batch_size):
+                yield int(rng.randint(n))
+        else:
+            order = np.arange(n)
+            if self.shuffle:
+                np.random.RandomState(self.seed).shuffle(order)
+            yield from order.tolist()
+
+    def __iter__(self):
+        ds = self.factory()
+        n = len(ds)
+        idx_stream = self._indices(n)
+        if self.num_workers <= 0:
+            sample_stream = (ds[i] for i in idx_stream)
+        else:
+            self._pool = mp.Pool(self.num_workers, _init_worker,
+                                 (self.factory, self.seed))
+            sample_stream = self._pool.imap(
+                _fetch, idx_stream, chunksize=self.chunksize)
+        batch = []
+        for sample in sample_stream:
+            if sample is None:
+                continue
+            batch.append(sample)
+            if len(batch) == self.batch_size:
+                yield collate(batch)
+                batch = []
+        if self.num_workers > 0:
+            self._pool.close()
+            self._pool.join()

@@ -1,0 +1,132 @@
+"""YCB-Video dataset (host-side input pipeline).
+
+Capability match for the reference YCB_Dataset (pvn3d/datasets/ycb/
+ycb_dataset.py): 80/20 synthetic/real training mix, color jitter + noise
+stack, synthetic-over-real-background pasting, depth completion, depth-map
+normal estimation (replacing PCL KSearch-50), 12288-point sampling, GT
+offset construction.  Emits the framework's batch dict (see
+pvn3d_tpu/data/frame.py) instead of the reference 11-tuple.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from pvn3d_tpu import config as C
+from pvn3d_tpu.data import augment
+from pvn3d_tpu.data.depth_completion import fill_missing
+from pvn3d_tpu.data.frame import FrameSpec, build_frame
+from pvn3d_tpu.utils.assets import get_ctr, get_kps
+
+
+def _read_lines(path):
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def _load_image(path):
+    from PIL import Image
+    with Image.open(path) as im:
+        return np.array(im)
+
+
+class YCBDataset:
+    """Frames from a YCB-Video checkout (`root` = ycb dataset root with
+    data/, data_syn/, models/ and the image lists vendored in assets)."""
+
+    def __init__(self, root: str, split: str = "train",
+                 spec: Optional[FrameSpec] = None, seed: int = 0,
+                 fill_depth: bool = True, kp_type: str = "farthest"):
+        self.root = root
+        self.split = split
+        self.spec = spec or FrameSpec()
+        self.rng = np.random.RandomState(seed)
+        self.fill_depth = fill_depth
+        self.kp_type = kp_type
+        cfg_dir = os.path.join(C.ASSETS_DIR, "ycb_config")
+        list_file = ("train_data_list.txt" if split == "train"
+                     else "test_data_list.txt")
+        self.all_lst = _read_lines(os.path.join(cfg_dir, list_file))
+        self.real_lst = [i for i in self.all_lst if i.startswith("data/")]
+        self.syn_lst = [i for i in self.all_lst if not i.startswith("data/")]
+        self.add_noise = split == "train"
+
+    def __len__(self):
+        return len(self.all_lst)
+
+    def _pick_train_item(self) -> str:
+        # 80% synthetic / 20% real (reference: real_syn_gen,
+        # ycb_dataset.py:64-73).
+        if self.rng.rand() > 0.8 and self.real_lst:
+            return self.real_lst[self.rng.randint(len(self.real_lst))]
+        return self.syn_lst[self.rng.randint(len(self.syn_lst))]
+
+    def _intrinsics(self, item_name: str) -> np.ndarray:
+        # Videos >= 60 use the second camera (reference:
+        # ycb_dataset.py:186-189).
+        if not item_name.startswith("data_syn") and int(item_name[5:9]) >= 60:
+            return C.INTRINSICS["ycb_K2"]
+        return C.INTRINSICS["ycb_K1"]
+
+    def _load_raw(self, item_name: str):
+        import scipy.io as scio
+        depth = _load_image(
+            os.path.join(self.root, item_name + "-depth.png"))
+        labels = _load_image(
+            os.path.join(self.root, item_name + "-label.png"))
+        rgb = _load_image(
+            os.path.join(self.root, item_name + "-color.png"))[..., :3]
+        meta = scio.loadmat(os.path.join(self.root, item_name + "-meta.mat"))
+        return rgb, depth, labels, meta
+
+    def get_item(self, item_name: str):
+        try:
+            rgb, depth, labels, meta = self._load_raw(item_name)
+        except (OSError, ValueError):
+            return None
+        k = self._intrinsics(item_name)
+        cam_scale = float(meta["factor_depth"].ravel()[0])
+        is_syn = "syn" in item_name
+
+        if self.add_noise:
+            rgb = augment.color_jitter(self.rng, rgb.astype(np.uint8))
+        if self.add_noise and is_syn:
+            rgb = augment.rgb_add_noise_ycb(self.rng, rgb)
+            rgb, depth = self._paste_real_background(rgb, labels, depth)
+            if self.rng.rand() > 0.8:
+                rgb = augment.rgb_add_noise_ycb(self.rng, rgb)
+
+        depth = depth.astype(np.float32)
+        if self.fill_depth:
+            depth = fill_missing(depth, cam_scale, 1.0)
+
+        instances = []
+        cls_id_lst = meta["cls_indexes"].ravel().astype(np.int32)
+        for i, cls_id in enumerate(cls_id_lst):
+            rt = meta["poses"][:, :, i].astype(np.float32)  # (3, 4)
+            kps = get_kps(int(cls_id), kp_type=self.kp_type, ds_type="ycb")
+            ctr = get_ctr(int(cls_id), ds_type="ycb")
+            instances.append((int(cls_id), rt, kps, ctr))
+
+        return build_frame(rgb, depth / cam_scale, labels, k, 1.0,
+                           instances, self.spec, self.rng)
+
+    def _paste_real_background(self, rgb, labels, depth):
+        real_item = self.real_lst[self.rng.randint(len(self.real_lst))]
+        try:
+            back_rgb, back_depth, back_label, _ = self._load_raw(real_item)
+        except (OSError, ValueError):
+            return rgb, depth
+        return augment.add_real_back(
+            rgb, labels, depth.astype(np.float32), depth > 1e-6,
+            back_rgb, back_depth, back_label)
+
+    def __getitem__(self, idx: int):
+        if self.split == "train":
+            while True:
+                data = self.get_item(self._pick_train_item())
+                if data is not None:
+                    return data
+        return self.get_item(self.all_lst[idx])
