@@ -1,0 +1,105 @@
+"""Training entry point.
+
+Usage (mirrors the reference CLIs, pvn3d/train/train_{ycb,linemod}_pvn3d.py):
+
+  python -m pvn3d_tpu.apps.train --dataset ycb --data_root /path/ycb \
+      --checkpoint_dir runs/ycb
+  python -m pvn3d_tpu.apps.train --dataset linemod --cls ape \
+      --data_root /path/Linemod_preprocessed --checkpoint_dir runs/ape
+
+Single-process multi-chip by default (dp over all local devices); multi-host
+via --distributed (jax.distributed.initialize + per-host data sharding).
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+
+import jax
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", choices=("ycb", "linemod"), default="ycb")
+    p.add_argument("--cls", default="ape",
+                   help="LineMOD object (reference: -cls)")
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--checkpoint_dir", default="runs/default")
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="global batch (0 = config default 24)")
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="0 = full budget (25 epochs x 4000 iters)")
+    p.add_argument("--no_fill_depth", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize()")
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def make_dataset_factory(args, split: str):
+    from pvn3d_tpu.data.frame import FrameSpec
+    spec = FrameSpec()
+    if args.dataset == "ycb":
+        from pvn3d_tpu.data.ycb import YCBDataset
+        return functools.partial(YCBDataset, args.data_root, split=split,
+                                 spec=spec, seed=args.seed,
+                                 fill_depth=not args.no_fill_depth)
+    from pvn3d_tpu.data.linemod import LineMODDataset
+    return functools.partial(LineMODDataset, args.data_root,
+                             cls_type=args.cls, split=split, spec=spec,
+                             seed=args.seed)
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if args.distributed:
+        jax.distributed.initialize()
+
+    from pvn3d_tpu.config import Config
+    from pvn3d_tpu.data.loader import DataLoader
+    from pvn3d_tpu.data.synthetic import synthetic_batch
+    from pvn3d_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from pvn3d_tpu.train.checkpoint import CheckpointManager
+    from pvn3d_tpu.train.state import create_train_state, param_count
+    from pvn3d_tpu.train.step import make_eval_step, make_train_step
+    from pvn3d_tpu.train.trainer import Trainer
+
+    cfg = (Config.ycb() if args.dataset == "ycb"
+           else Config.linemod(args.cls))
+    batch_size = args.batch_size or cfg.train.mini_batch_size
+    max_steps = args.max_steps or (
+        cfg.train.n_total_epoch * cfg.train.num_mini_batch_per_epoch)
+
+    mesh = make_mesh(dp=jax.local_device_count(), sp=1)
+    example = synthetic_batch(cfg, batch_size=batch_size)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state, model, tx = create_train_state(cfg, rng, example)
+    print(f"params: {param_count(state.params)/1e6:.2f}M  "
+          f"devices: {jax.device_count()}  batch: {batch_size}", flush=True)
+    state = jax.device_put(state, replicated(mesh))
+
+    train_loader = DataLoader(
+        make_dataset_factory(args, "train"), batch_size,
+        num_workers=args.workers, seed=args.seed, steps=max_steps)
+    val_loader = DataLoader(
+        make_dataset_factory(args, "test"), batch_size,
+        num_workers=max(args.workers // 2, 0), seed=args.seed)
+
+    trainer = Trainer(
+        cfg, state,
+        make_train_step(cfg, model, tx),
+        make_eval_step(cfg, model),
+        checkpoint_manager=CheckpointManager(args.checkpoint_dir),
+        log_every=args.log_every,
+        put_batch=lambda b: shard_batch(mesh, b))
+    trainer.resume()
+    with mesh:
+        trainer.fit(iter(train_loader), lambda: iter(val_loader),
+                    max_steps=max_steps)
+
+
+if __name__ == "__main__":
+    main()
