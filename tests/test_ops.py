@@ -132,13 +132,13 @@ class TestGather:
 
 
 class TestBallQuery:
-    @pytest.mark.parametrize("chunk", [8, 64])
-    def test_matches_oracle(self, chunk):
+    @pytest.mark.parametrize("chunk_m", [4, 64])
+    def test_matches_oracle(self, chunk_m):
         rng = np.random.RandomState(0)
         xyz = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
         cen = xyz[rng.choice(100, 10, replace=False)]
         ours = np.asarray(
-            ball_query(0.5, 8, xyz[None], cen[None], chunk=chunk))[0]
+            ball_query(0.5, 8, xyz[None], cen[None], chunk_m=chunk_m))[0]
         ref = np_ball_query(0.5, 8, xyz, cen)
         np.testing.assert_array_equal(ours, ref)
 
@@ -165,11 +165,11 @@ class TestBallQuery:
         np.testing.assert_array_equal(ours, 0)
 
     def test_chunk_boundary_ordering(self):
-        # Hits spanning a chunk boundary must keep global index order.
+        # Hits spanning selection chunks must keep global index order.
         xyz = np.zeros((1, 40, 3), np.float32)
         xyz[0, :, 0] = np.linspace(0, 0.05, 40)
         cen = np.zeros((1, 1, 3), np.float32)
-        ours = np.asarray(ball_query(1.0, 40, xyz, cen, chunk=16))[0, 0]
+        ours = np.asarray(ball_query(1.0, 40, xyz, cen))[0, 0]
         np.testing.assert_array_equal(ours, np.arange(40))
 
 
