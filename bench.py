@@ -1,10 +1,16 @@
-"""Single-chip inference benchmark: PVN3D forward frames/s.
+"""Single-chip benchmark: full PVN3D inference pipeline frames/s.
+
+Measures the COMPLETE per-frame pipeline — CNN+PointNet++ forward, seg
+argmax, batched MeanShift vote clustering, mask refinement, SVD pose fit
+for all 21 classes — as one jitted program (the reference runs the
+clustering stage in Python threads outside the model; here it is part of
+the same XLA program).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Methodology: T forward passes run inside one jitted ``lax.scan`` with an
+Methodology: T pipeline iterations inside one jitted ``lax.scan`` with an
 iteration-dependent input perturbation, synced once — per-dispatch tunnel
-latency and any same-input caching cannot distort the number.
+latency and same-input caching cannot distort the number.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md); the
 commonly reported PVN3D end-to-end rate on its 2019-era GPU is ~5 fps
@@ -20,7 +26,9 @@ import jax.numpy as jnp
 
 from pvn3d_tpu.config import Config
 from pvn3d_tpu.data.synthetic import synthetic_batch
+from pvn3d_tpu.inference.pipeline import make_pose_fn
 from pvn3d_tpu.models.pvn3d import PVN3D
+from pvn3d_tpu.utils.assets import stacked_class_radii, stacked_mesh_kps
 
 BASELINE_FPS = 5.0
 T = 10
@@ -36,12 +44,17 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     variables = jax.jit(model.init)(rng, pointcloud, rgb, choose)
+    pose_fn = make_pose_fn(cfg, stacked_mesh_kps("ycb", 22),
+                           stacked_class_radii("ycb", 22))
 
     @jax.jit
     def run(pc, im, ch):
         def body(carry, i):
             out = model.apply(variables, pc + i * 1e-6, im, ch)
-            return carry + jnp.sum(out["seg_logits"][0, 0]), None
+            seg = jnp.argmax(out["seg_logits"], axis=-1).astype(jnp.int32)
+            frame = pose_fn(pc[..., :3], seg, out["ctr_offsets"],
+                            out["kp_offsets"])
+            return carry + jnp.sum(frame.poses), None
         acc, _ = jax.lax.scan(body, 0.0, jnp.arange(T, dtype=jnp.float32))
         return acc
 
@@ -52,7 +65,7 @@ def main():
     fps = 1.0 / dt
 
     print(json.dumps({
-        "metric": "inference_fps_per_chip",
+        "metric": "e2e_inference_fps_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
