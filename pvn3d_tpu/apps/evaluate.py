@@ -1,0 +1,125 @@
+"""Evaluation entry point: ADD / ADD-S / AUC over a test set.
+
+Usage (mirrors `train_*_pvn3d -eval_net --test` and `eval_icp`):
+
+  python -m pvn3d_tpu.apps.evaluate --dataset ycb --data_root /path/ycb \
+      --checkpoint_dir runs/ycb [--icp]
+  python -m pvn3d_tpu.apps.evaluate --dataset linemod --cls ape \
+      --data_root /path/Linemod_preprocessed --checkpoint_dir runs/ape
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", choices=("ycb", "linemod"), default="ycb")
+    p.add_argument("--cls", default="ape")
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--max_frames", type=int, default=0)
+    p.add_argument("--icp", action="store_true",
+                   help="refine poses with batched ICP (eval_icp parity)")
+    p.add_argument("--no_fill_depth", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    from pvn3d_tpu import config as C
+    from pvn3d_tpu.apps.train import make_dataset_factory
+    from pvn3d_tpu.config import Config
+    from pvn3d_tpu.data.loader import DataLoader
+    from pvn3d_tpu.data.synthetic import synthetic_batch
+    from pvn3d_tpu.inference.evaluator import PoseEvaluator
+    from pvn3d_tpu.inference.pipeline import make_inference_step
+    from pvn3d_tpu.models.pvn3d import PVN3D
+    from pvn3d_tpu.train.checkpoint import CheckpointManager
+    from pvn3d_tpu.train.state import create_train_state
+    from pvn3d_tpu.utils.assets import (stacked_class_radii, stacked_mesh_kps,
+                                        stacked_mesh_points)
+
+    is_lm = args.dataset == "linemod"
+    cfg = Config.linemod(args.cls) if is_lm else Config.ycb()
+    n_cls = cfg.model.n_classes
+    obj_id = C.LM_OBJ_DICT[args.cls] if is_lm else 0
+
+    example = synthetic_batch(cfg, batch_size=args.batch_size)
+    state, model, _ = create_train_state(
+        cfg, jax.random.PRNGKey(0), example)
+    state = CheckpointManager(args.checkpoint_dir).restore(state) or state
+    print(f"evaluating from step {int(state.step)}", flush=True)
+    eval_model = model.clone(train=False)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if is_lm:
+        kps = stacked_mesh_kps("linemod", n_cls=2)
+        # assets index by object name; row 1 is this object.
+        from pvn3d_tpu.utils.assets import get_ctr, get_kps
+        kp = get_kps(args.cls, ds_type="linemod")
+        ctr = get_ctr(args.cls, ds_type="linemod").reshape(1, 3)
+        kps = np.stack([np.zeros_like(np.concatenate([kp, ctr])),
+                        np.concatenate([kp, ctr])])
+        radii = stacked_class_radii("linemod", 2)
+        mesh_pts, mesh_valid = stacked_mesh_points(
+            args.data_root, "linemod", n_cls=2, max_points=2000)
+    else:
+        kps = stacked_mesh_kps("ycb", n_cls)
+        radii = stacked_class_radii("ycb", n_cls)
+        mesh_pts, mesh_valid = stacked_mesh_points(
+            args.data_root, "ycb", n_cls)
+
+    step = make_inference_step(cfg, eval_model, variables, kps, radii,
+                               mesh_pts, mesh_valid)
+    icp_step = None
+    if args.icp:
+        from pvn3d_tpu.inference.evaluator import eval_frame_metrics
+        from pvn3d_tpu.inference.pipeline import make_icp_step
+        icp_step = make_icp_step(cfg, mesh_pts, mesh_valid)
+        mesh_pts_j, mesh_valid_j = jnp.asarray(mesh_pts), jnp.asarray(
+            mesh_valid)
+        icp_metrics = jax.jit(jax.vmap(
+            lambda p, c, r: eval_frame_metrics(p, c, r, mesh_pts_j,
+                                               mesh_valid_j)))
+    loader = DataLoader(make_dataset_factory(args, "test"),
+                        args.batch_size, num_workers=args.workers)
+
+    ev = PoseEvaluator(n_cls=max(n_cls, obj_id + 1),
+                       ds_type=args.dataset)
+    n_frames = 0
+    for batch in loader:
+        out = step(batch)
+        if icp_step is not None:
+            refined = icp_step(jnp.asarray(batch["pointcloud"][..., :3]),
+                               out["seg"], out["poses"])
+            out["add"], out["adds"] = icp_metrics(
+                refined, jnp.asarray(batch["cls_ids"]),
+                jnp.asarray(batch["rts"]))
+        cls_ids = np.asarray(batch["cls_ids"])
+        add = np.asarray(out["add"])
+        adds = np.asarray(out["adds"])
+        if is_lm:
+            cls_ids = np.where(cls_ids > 0, obj_id, 0)
+        for b in range(cls_ids.shape[0]):
+            ev.add_frame(cls_ids[b], add[b], adds[b])
+        n_frames += cls_ids.shape[0]
+        if args.max_frames and n_frames >= args.max_frames:
+            break
+    print(f"evaluated {n_frames} frames")
+    if is_lm:
+        summary = ev.summarize_linemod(obj_id, verbose=True)
+    else:
+        summary = ev.summarize(verbose=True)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

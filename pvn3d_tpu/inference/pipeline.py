@@ -84,6 +84,40 @@ def make_inference_step(cfg: Config, model, variables,
     return step
 
 
+def make_icp_step(cfg: Config, mesh_pts: np.ndarray, mesh_valid: np.ndarray):
+    """Batched ICP refinement of per-class poses against the predicted-class
+    scene points (reference: eval_icp.py — there the scene comes from the
+    full-resolution depth + predicted mask; here from the sampled cloud,
+    capped at icp.max_scene_points per class).
+
+    Returns a jitted fn: (pcld (B,N,3), seg (B,N), poses (B,n_cls,3,4))
+    -> refined poses (B, n_cls, 3, 4).
+    """
+    from pvn3d_tpu.inference.icp import refine_frame_poses
+    from pvn3d_tpu.inference.pose import _select_class_points
+
+    icp_cfg = cfg.icp
+    n_cls = mesh_pts.shape[0]
+    k = icp_cfg.max_scene_points
+    mesh_pts_j = jnp.asarray(mesh_pts[1:], jnp.float32)
+    mesh_valid_j = jnp.asarray(mesh_valid[1:])
+
+    @jax.jit
+    def step(pcld, seg, poses):
+        def one_frame(pc, sg, ps):
+            sel, valid, _ = _select_class_points(sg, n_cls, k)
+            scene = pc[sel]                                # (n_cls-1, k, 3)
+            refined, _, _ = refine_frame_poses(
+                ps[1:], mesh_pts_j, mesh_valid_j, scene, valid,
+                min_points=icp_cfg.min_class_points,
+                cluster_bandwidth=icp_cfg.cluster_bandwidth,
+                max_iter=icp_cfg.max_iter, tolerance=icp_cfg.tolerance)
+            return jnp.concatenate([ps[:1], refined], axis=0)
+        return jax.vmap(one_frame)(pcld, seg, poses)
+
+    return step
+
+
 def evaluate_dataset(cfg: Config, model, variables, batches,
                      mesh_kps, radii, mesh_pts, mesh_valid,
                      ds_type: str = "ycb", obj_id: int = 0,

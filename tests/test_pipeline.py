@@ -1,0 +1,63 @@
+"""End-to-end jitted inference pipeline on the tiny model config."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pvn3d_tpu.data.synthetic import synthetic_batch
+from pvn3d_tpu.inference.pipeline import (make_icp_step, make_inference_step,
+                                          make_pose_fn)
+from pvn3d_tpu.models.pvn3d import PVN3D
+
+import __graft_entry__ as graft
+
+
+def _setup():
+    cfg = graft._tiny_config()
+    n_cls = cfg.model.n_classes
+    rng = np.random.RandomState(0)
+    mesh_kps = rng.uniform(-0.05, 0.05,
+                           (n_cls, cfg.model.n_keypoints + 1, 3)
+                           ).astype(np.float32)
+    radii = np.ones(n_cls, np.float32) * 0.1
+    mesh_pts = rng.uniform(-0.05, 0.05, (n_cls, 128, 3)).astype(np.float32)
+    mesh_valid = np.ones((n_cls, 128), bool)
+    batch = synthetic_batch(cfg, batch_size=2,
+                            n_points=cfg.model.n_sample_points,
+                            height=64, width=64)
+    model = PVN3D(cfg=cfg.model, train=False)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(batch["pointcloud"]),
+        jnp.asarray(batch["rgb"]), jnp.asarray(batch["choose"]))
+    return cfg, batch, model, variables, mesh_kps, radii, mesh_pts, mesh_valid
+
+
+def test_inference_step_shapes_and_metrics():
+    (cfg, batch, model, variables, mesh_kps, radii, mesh_pts,
+     mesh_valid) = _setup()
+    n_cls = cfg.model.n_classes
+    step = make_inference_step(cfg, model, variables, mesh_kps, radii,
+                               mesh_pts, mesh_valid)
+    out = step(batch)
+    n = cfg.model.n_sample_points
+    assert out["poses"].shape == (2, n_cls, 3, 4)
+    assert out["present"].shape == (2, n_cls)
+    assert out["seg"].shape == (2, n)
+    assert out["add"].shape == batch["cls_ids"].shape
+    assert np.isfinite(np.asarray(out["add"])).all()
+    # Pose rows for absent classes must be zero.
+    poses = np.asarray(out["poses"])
+    present = np.asarray(out["present"])
+    assert (np.abs(poses[~present]) < 1e-6).all()
+
+
+def test_icp_step_runs_and_preserves_shape():
+    (cfg, batch, model, variables, mesh_kps, radii, mesh_pts,
+     mesh_valid) = _setup()
+    step = make_inference_step(cfg, model, variables, mesh_kps, radii,
+                               mesh_pts, mesh_valid)
+    out = step(batch)
+    icp = make_icp_step(cfg, mesh_pts, mesh_valid)
+    refined = icp(jnp.asarray(batch["pointcloud"][..., :3]), out["seg"],
+                  out["poses"])
+    assert refined.shape == out["poses"].shape
+    assert np.isfinite(np.asarray(refined)).all()
