@@ -1,0 +1,79 @@
+"""Tracing and step-timing instrumentation.
+
+The reference has no profiling at all (SURVEY §5.1: tqdm bars and wall-clock
+prints only).  Here profiling is first-class:
+
+  * ``trace(logdir)`` — context manager around ``jax.profiler`` producing a
+    TensorBoard/XProf trace of device execution;
+  * ``annotate(name)`` — TraceAnnotation for labeling pipeline stages;
+  * ``StepTimer`` — rolling wall-clock stats (mean/p50/p95) of whatever it
+    wraps, cheap enough to keep on in production loops;
+  * ``device_loop_time`` — the measurement harness used by bench.py: runs a
+    fn T times inside one jitted ``lax.scan`` with an iteration-dependent
+    perturbation so dispatch latency and caching cannot distort the number.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StepTimer:
+    def __init__(self, window: int = 200):
+        self.window = window
+        self.samples: List[float] = []
+        self._t0 = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.samples.append(time.perf_counter() - self._t0)
+        if len(self.samples) > self.window:
+            self.samples = self.samples[-self.window:]
+        return False
+
+    def stats(self) -> Dict[str, float]:
+        if not self.samples:
+            return {}
+        a = np.asarray(self.samples)
+        return {"mean_s": float(a.mean()), "p50_s": float(np.median(a)),
+                "p95_s": float(np.percentile(a, 95)), "n": len(a)}
+
+
+def device_loop_time(fn: Callable[[jnp.ndarray], jnp.ndarray],
+                     iters: int = 10) -> float:
+    """Mean seconds per call of ``fn(i) -> scalar`` measured on-device.
+
+    ``fn`` receives the iteration index as a traced f32 scalar and must
+    return a scalar that depends on its inputs (preventing CSE).
+    """
+    @jax.jit
+    def run():
+        acc, _ = jax.lax.scan(lambda c, i: (c + fn(i), None), 0.0,
+                              jnp.arange(iters, dtype=jnp.float32))
+        return acc
+
+    run().block_until_ready()
+    t0 = time.perf_counter()
+    run().block_until_ready()
+    return (time.perf_counter() - t0) / iters
