@@ -107,11 +107,51 @@ def fill_in_multiscale(depth: np.ndarray, max_depth: float = 3.0,
     return out
 
 
+def fill_in_fast(depth: np.ndarray, max_depth: float = 3.0,
+                 custom_kernel_size: int = 5,
+                 blur_type: str = "bilateral",
+                 extrapolate: bool = False) -> np.ndarray:
+    """Single-scale fast fill (reference: fill_in_fast,
+    depth_map_utils_ycb.py:67-132): invert, one dilation, closure, small
+    hole fill, optional extrapolation, blur, invert back."""
+    d = np.float32(depth).copy()
+    valid = d > _VALID_EPS
+    d[valid] = max_depth - d[valid]
+    d = cv2.dilate(d, _cross_kernel(custom_kernel_size))
+    d = cv2.morphologyEx(d, cv2.MORPH_CLOSE, _full_kernel(5))
+    empty = d < _VALID_EPS
+    dilated = cv2.dilate(d, _full_kernel(7))
+    d[empty] = dilated[empty]
+    if extrapolate:
+        vrows = np.argmax(d > _VALID_EPS, axis=0)
+        top_vals = d[vrows, np.arange(d.shape[1])]
+        rows = np.arange(d.shape[0])[:, None]
+        d = np.where(rows < vrows[None, :], top_vals[None, :], d)
+        dilated = cv2.dilate(d, _full_kernel(31))
+        empty = d < _VALID_EPS
+        d[empty] = dilated[empty]
+    d = cv2.medianBlur(d, 5)
+    if blur_type == "bilateral":
+        d = cv2.bilateralFilter(d, 5, 1.5, 2.0)
+    elif blur_type == "gaussian":
+        blurred = cv2.GaussianBlur(d, (5, 5), 0)
+        m = d > _VALID_EPS
+        d[m] = blurred[m]
+    m = d > _VALID_EPS
+    d[m] = max_depth - d[m]
+    return d
+
+
 def fill_missing(depth: np.ndarray, cam_scale: float = 1.0,
                  scale_to_m: float = 1.0, max_depth: float = 3.0,
-                 **kw) -> np.ndarray:
+                 fill_type: str = "multiscale", **kw) -> np.ndarray:
     """fill_missing semantics (basic_utils.py:436-456): rescale to meters,
-    fill, rescale back."""
+    fill ('multiscale' or 'fast'), rescale back."""
     d = depth / cam_scale * scale_to_m
-    filled = fill_in_multiscale(d, max_depth=max_depth, **kw)
+    if fill_type == "fast":
+        filled = fill_in_fast(d, max_depth=max_depth, **kw)
+    elif fill_type == "multiscale":
+        filled = fill_in_multiscale(d, max_depth=max_depth, **kw)
+    else:
+        raise ValueError(f"unknown fill_type {fill_type!r}")
     return filled / scale_to_m * cam_scale

@@ -159,3 +159,16 @@ def test_loader_inline_skips_none_and_collates():
     assert batches[0]["x"].shape == (3, 4)
     seen = np.concatenate([b["x"][:, 0] for b in batches])
     assert 3.0 not in seen.tolist()
+import numpy as np
+from pvn3d_tpu.data.depth_completion import fill_in_fast, fill_missing
+
+def test_fast_fill():
+    rng = np.random.RandomState(0)
+    d = np.full((120, 160), 1.0, np.float32)
+    d[rng.rand(120, 160) < 0.3] = 0.0
+    out = fill_in_fast(d, max_depth=3.0)
+    inner = out[15:-15, 15:-15]
+    assert (inner > 0.01).mean() > 0.99
+    np.testing.assert_allclose(inner[inner > 0.01], 1.0, atol=0.1)
+    out2 = fill_missing(d * 1000, cam_scale=1000.0, fill_type="fast")
+    assert np.isfinite(out2).all()
