@@ -24,6 +24,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+from pvn3d_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
 from pvn3d_tpu.config import Config
 from pvn3d_tpu.data.synthetic import synthetic_batch
 from pvn3d_tpu.inference.pipeline import make_pose_fn

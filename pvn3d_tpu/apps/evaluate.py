@@ -34,6 +34,8 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    from pvn3d_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from pvn3d_tpu import config as C
     from pvn3d_tpu.apps.train import make_dataset_factory
     from pvn3d_tpu.config import Config

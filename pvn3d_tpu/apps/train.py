@@ -55,6 +55,8 @@ def make_dataset_factory(args, split: str):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    from pvn3d_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     if args.distributed:
         jax.distributed.initialize()
 
