@@ -5,20 +5,22 @@ steps, each an O(N) min-distance update + argmax.  The reference runs it as
 one CUDA block per batch row with a shared-memory argmax tree
 (pvn3d/_ext-src/src/sampling_gpu.cu:62-229).
 
-TPU design: one grid program per batch row; the (3, N) coordinates and the
-running min-distance cache live in VMEM for the whole m-step loop, so each
-step is pure VPU work with zero HBM traffic (the XLA scan fallback in
-``pvn3d_tpu.ops.sampling`` re-materializes carries through HBM between
-steps when the cache doesn't fit in registers).  Each step:
+TPU design: the whole batch runs in ONE kernel program with batch rows on
+the sublane axis — every step performs row-wise (B, N) vector ops and
+row-wise reductions, so the serial m-step chain is paid once for the whole
+batch instead of once per row (grid-per-row serializes on the single
+TensorCore; batching in-kernel measured ~B× faster for B >= 8).  The
+min-distance cache lives in VMEM scratch for the entire loop; the XLA scan
+fallback in ``pvn3d_tpu.ops.sampling`` re-materializes carries through HBM.
 
-  d_j   = ||p_j - p_last||^2            (vector, N lanes)
-  mind  = min(mind, d_j) masked          (skip ||p||^2 <= 1e-3, pad lanes)
-  next  = first argmax(mind)             (max-reduce + min-index-of-max)
+Per step (all (B, N)-shaped, row-wise):
+  onehot   = (col == last_idx)                  per-row selected point
+  lx,ly,lz = row-sum(coord * onehot)            coordinate extraction
+  mind     = min(mind, ||p - last||^2) masked
+  next     = first row-argmax(mind)             max + min-index-of-max
 
-The argmax is realized as two full-width reductions (max value, then min
-index attaining it) — both lower to plain VPU reduces; ties resolve to the
-lowest index, matching ``jnp.argmax`` in the XLA path and the reference's
-tree reduction (sampling_gpu.cu:22-52 prefers the lower index on ties).
+Ties resolve to the lowest index, matching ``jnp.argmax`` in the XLA path
+and the reference's tree reduction (sampling_gpu.cu:22-52).
 
 Reference semantic quirks kept (sampling_gpu.cu:92-110): sample 0 is always
 index 0; points with squared norm <= 1e-3 never win and never update the
@@ -34,43 +36,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
+_MAX_ROWS_PER_PROGRAM = 16     # VMEM cap incl. double-buffered blocks + temporaries
 
 
 def _fps_kernel(n_valid: int, npoint: int, x_ref, out_ref, mind_ref):
-    """One batch row. x_ref: (1, 3, Np) f32; out_ref: (1, 1, npoint) i32;
-    mind_ref: (3, Np) f32 VMEM scratch (row 0 = min-dist cache)."""
-    np_lanes = x_ref.shape[-1]
-    x0 = x_ref[0, 0:1, :]                                  # (1, Np)
-    x1 = x_ref[0, 1:2, :]
-    x2 = x_ref[0, 2:3, :]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, np_lanes), 1)
-    mag = x0 * x0 + x1 * x1 + x2 * x2
-    skip = (mag <= 1e-3) | (col >= n_valid)
+    """One batch tile.  x_ref: (3, Bt, Np) f32; out_ref: (Bt, npoint) i32;
+    mind_ref: (Bt, Np) f32 VMEM scratch."""
+    bt = x_ref.shape[1]
+    npl = x_ref.shape[-1]
+    x = x_ref[0]
+    y = x_ref[1]
+    z = x_ref[2]
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (bt, npl), 1)
+    mag = x * x + y * y + z * z
+    skip = (mag <= 1e-3) | (jcol >= n_valid)
     neg_inf = jnp.float32(-jnp.inf)
-
-    mind_ref[0:1, :] = jnp.full((1, np_lanes), 1e10, jnp.float32)
-    ocol = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
-    out_ref[0, 0:1, :] = jnp.zeros((1, npoint), jnp.int32)
+    mind_ref[:, :] = jnp.full((bt, npl), 1e10, jnp.float32)
+    ocol = jax.lax.broadcasted_iota(jnp.int32, (bt, npoint), 1)
+    out_ref[:, :] = jnp.zeros((bt, npoint), jnp.int32)
 
     def body(i, last):
-        onehot = col == last
-        lx = jnp.sum(jnp.where(onehot, x0, 0.0))
-        ly = jnp.sum(jnp.where(onehot, x1, 0.0))
-        lz = jnp.sum(jnp.where(onehot, x2, 0.0))
-        d = ((x0 - lx) * (x0 - lx) + (x1 - ly) * (x1 - ly)
-             + (x2 - lz) * (x2 - lz))
-        mind = jnp.where(skip, mind_ref[0:1, :],
-                         jnp.minimum(mind_ref[0:1, :], d))
-        mind_ref[0:1, :] = mind
+        onehot = (jcol == last).astype(jnp.float32)
+        lx = jnp.sum(x * onehot, axis=1, keepdims=True)
+        ly = jnp.sum(y * onehot, axis=1, keepdims=True)
+        lz = jnp.sum(z * onehot, axis=1, keepdims=True)
+        d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
+        mind = jnp.where(skip, mind_ref[:, :],
+                         jnp.minimum(mind_ref[:, :], d))
+        mind_ref[:, :] = mind
         cand = jnp.where(skip, neg_inf, mind)
-        best = jnp.max(cand)
-        nxt = jnp.min(jnp.where(cand == best, col, np_lanes)).astype(jnp.int32)
-        # Guard the degenerate all-skip row (reference leaves idx 0).
-        nxt = jnp.where(nxt >= np_lanes, 0, nxt)
-        out_ref[0, 0:1, :] = jnp.where(ocol == i, nxt, out_ref[0, 0:1, :])
+        best = jnp.max(cand, axis=1, keepdims=True)
+        nxt = jnp.min(jnp.where(cand == best, jcol, npl), axis=1,
+                      keepdims=True).astype(jnp.int32)
+        # Guard degenerate all-skip rows (reference leaves idx 0).
+        nxt = jnp.where(nxt >= npl, 0, nxt)
+        out_ref[:, :] = jnp.where(ocol == i, nxt, out_ref[:, :])
         return nxt
 
-    jax.lax.fori_loop(1, npoint, body, jnp.int32(0))
+    jax.lax.fori_loop(1, npoint, body, jnp.zeros((bt, 1), jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
@@ -81,19 +84,29 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int,
     if npoint == 1:
         return jnp.zeros((b, 1), jnp.int32)
     n_pad = -(-n // _LANES) * _LANES
-    xt = jnp.moveaxis(xyz.astype(jnp.float32), -1, -2)     # (B, 3, N)
+    xt = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))   # (3, B, N)
     if n_pad != n:
         xt = jnp.pad(xt, ((0, 0), (0, 0), (0, n_pad - n)))
+
+    if b <= _MAX_ROWS_PER_PROGRAM:
+        bt, b_pad, grid = b, b, 1
+    else:
+        bt = _MAX_ROWS_PER_PROGRAM
+        b_pad = -(-b // bt) * bt
+        grid = b_pad // bt
+        if b_pad != b:
+            xt = jnp.pad(xt, ((0, 0), (0, b_pad - b), (0, 0)))
+
     kernel = functools.partial(_fps_kernel, n, npoint)
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, 3, n_pad), lambda i: (i, 0, 0),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((3, bt, n_pad), lambda g: (0, g, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, npoint), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bt, npoint), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 1, npoint), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((3, n_pad), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b_pad, npoint), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bt, n_pad), jnp.float32)],
         interpret=interpret,
     )(xt)
-    return out[:, 0, :]
+    return out[:b]
