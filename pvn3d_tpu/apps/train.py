@@ -32,6 +32,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_steps", type=int, default=0,
                    help="0 = full budget (25 epochs x 4000 iters)")
     p.add_argument("--no_fill_depth", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize forward in backward (large per-chip batch)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
     p.add_argument("--log_every", type=int, default=50)
@@ -71,6 +73,10 @@ def main(argv=None):
 
     cfg = (Config.ycb() if args.dataset == "ycb"
            else Config.linemod(args.cls))
+    if args.remat:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, remat=True))
     batch_size = args.batch_size or cfg.train.mini_batch_size
     max_steps = args.max_steps or (
         cfg.train.n_total_epoch * cfg.train.num_mini_batch_per_epoch)

@@ -176,6 +176,10 @@ class TrainConfig:
     loss_weights: Tuple[float, float, float] = (2.0, 1.0, 1.0)
     focal_gamma: float = 2.0
     seed: int = 0
+    # Rematerialize the forward in backward (jax.checkpoint).  Needed for
+    # large per-chip batches (bs 24 on a single 16 GB chip spills HBM and
+    # collapses to host-offload speeds without it).
+    remat: bool = False
 
 
 # ---------------------------------------------------------------------------

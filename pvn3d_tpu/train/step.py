@@ -45,11 +45,19 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
         bn_m = bn_momentum_at(state.step, cfg.train)
         drop_rng = jax.random.fold_in(rng, state.step)
 
+        def forward(params, batch_stats, pc, im, ch, bn, dr):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                pc, im, ch, bn, mutable=["batch_stats"],
+                rngs={"dropout": dr})
+
+        if cfg.train.remat:
+            forward = jax.checkpoint(forward)
+
         def loss_fn(params):
-            outputs, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["pointcloud"], batch["rgb"], batch["choose"], bn_m,
-                mutable=["batch_stats"], rngs={"dropout": drop_rng})
+            outputs, mutated = forward(
+                params, state.batch_stats, batch["pointcloud"],
+                batch["rgb"], batch["choose"], bn_m, drop_rng)
             metrics = compute_losses(cfg, outputs, batch)
             return metrics["loss"], (mutated["batch_stats"], metrics)
 

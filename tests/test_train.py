@@ -90,3 +90,24 @@ def test_dp_sp_sharded_step_matches_single_device():
         _, m_mesh = jax.jit(step)(state_sh, batch_sh, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(m_single["loss"]),
                                float(m_mesh["loss"]), rtol=2e-4)
+
+
+def test_remat_matches_no_remat():
+    import dataclasses
+    from pvn3d_tpu.config import TrainConfig
+    cfg = graft._tiny_config()
+    batch = synthetic_batch(cfg, batch_size=2,
+                            n_points=cfg.model.n_sample_points,
+                            height=64, width=64)
+    state, model, tx = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    cfg_r = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, remat=True))
+    s1, m1 = jax.jit(make_train_step(cfg, model, tx))(
+        state, batch, jax.random.PRNGKey(1))
+    s2, m2 = jax.jit(make_train_step(cfg_r, model, tx))(
+        state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    a = jax.tree_util.tree_leaves(s1.params)[0]
+    b = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
