@@ -43,7 +43,6 @@ def main(argv=None):
     from pvn3d_tpu.data.synthetic import synthetic_batch
     from pvn3d_tpu.inference.evaluator import PoseEvaluator
     from pvn3d_tpu.inference.pipeline import make_inference_step
-    from pvn3d_tpu.models.pvn3d import PVN3D
     from pvn3d_tpu.train.checkpoint import CheckpointManager
     from pvn3d_tpu.train.state import create_train_state
     from pvn3d_tpu.utils.assets import (stacked_class_radii, stacked_mesh_kps,

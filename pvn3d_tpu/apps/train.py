@@ -16,7 +16,6 @@ import argparse
 import functools
 
 import jax
-import numpy as np
 
 
 def build_argparser() -> argparse.ArgumentParser:

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Mapping, Sequence, Tuple
+from typing import Mapping, Tuple
 
 import numpy as np
 

@@ -7,7 +7,6 @@ prefetches collated numpy batches; the jitted step consumes them via
 """
 from __future__ import annotations
 
-import itertools
 import multiprocessing as mp
 from typing import Iterator, Optional
 

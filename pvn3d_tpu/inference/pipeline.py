@@ -9,7 +9,6 @@ device dispatch.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax
@@ -129,12 +128,8 @@ def evaluate_dataset(cfg: Config, model, variables, batches,
     """
     step = make_inference_step(cfg, model, variables, mesh_kps, radii,
                                mesh_pts, mesh_valid)
-    ev = PoseEvaluator(n_cls=cfg.model.n_classes
-                       if ds_type == "ycb" else cfg.model.n_classes,
+    ev = PoseEvaluator(n_cls=max(cfg.model.n_classes, obj_id + 1),
                        ds_type=ds_type)
-    if ds_type == "linemod":
-        ev = PoseEvaluator(n_cls=max(cfg.model.n_classes, obj_id + 1),
-                           ds_type=ds_type)
     for batch in batches:
         out = step(batch)
         if "add" not in out:

@@ -7,7 +7,7 @@ logically-global sharded arrays the jitted step consumes.
 """
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional
+from typing import Mapping, Optional
 
 import jax
 import numpy as np

@@ -7,7 +7,7 @@ is static and closed over by the step functions.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import flax.struct
 import jax
