@@ -132,7 +132,9 @@ class LineMODDataset:
                     self.rng, np.clip(rgb, 0, 255).astype(np.uint8))
             rgb = rgb.astype(np.float32)
 
-        kps = get_kps(self.cls_type, ds_type="linemod")
+        kp_type = ("farthest" if self.spec.n_keypoints == 8
+                   else f"farthest{self.spec.n_keypoints}")
+        kps = get_kps(self.cls_type, kp_type=kp_type, ds_type="linemod")
         ctr = get_ctr(self.cls_type, ds_type="linemod")
         instances = [(1, rt, kps, ctr)]
         return build_frame(rgb, depth / cam_scale, labels, k, 1.0,

@@ -38,13 +38,17 @@ class YCBDataset:
 
     def __init__(self, root: str, split: str = "train",
                  spec: Optional[FrameSpec] = None, seed: int = 0,
-                 fill_depth: bool = True, kp_type: str = "farthest"):
+                 fill_depth: bool = True, kp_type: str = ""):
         self.root = root
         self.split = split
         self.spec = spec or FrameSpec()
         self.rng = np.random.RandomState(seed)
         self.fill_depth = fill_depth
-        self.kp_type = kp_type
+        # n_keypoints selects the keypoint file (reference:
+        # ycb_dataset.py:263-267).
+        self.kp_type = kp_type or (
+            "farthest" if self.spec.n_keypoints == 8
+            else f"farthest{self.spec.n_keypoints}")
         cfg_dir = os.path.join(C.ASSETS_DIR, "ycb_config")
         list_file = ("train_data_list.txt" if split == "train"
                      else "test_data_list.txt")
