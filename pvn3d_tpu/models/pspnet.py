@@ -6,10 +6,17 @@ convs, bilinear re-upsampling, a 1024-d bottleneck, three 2x upsample stages
 (bilinear align-corners + 3x3 conv + BN + PReLU) back to full resolution, a
 128-d per-pixel embedding head and an auxiliary log-softmax seg head.  All
 resizes/pools are static-matrix matmuls (see layers.py) — no gathers.
+
+TPU-native sparse tail: the fusion stage only ever reads the embeddings of
+the ~12288 sampled pixels (4% of 480x640), so at inference the last
+upsample stage + the 1x1 heads can run at exactly those pixels — bilinear
+patch sampling + the same conv params — instead of densely (the dense and
+sparse paths share parameters; see ``PSPUpsample.sparse`` /
+``PSPNetEmbedding.__call__(choose=...)``).
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -44,31 +51,89 @@ class PSPModule(nn.Module):
         return nn.relu(y)
 
 
+def _align_corners_coords(dst_idx, src_size: int, dst_size: int):
+    """Fractional source coords of integer dest positions, torch
+    align_corners=True convention."""
+    scale = (src_size - 1) / max(dst_size - 1, 1)
+    return dst_idx.astype(jnp.float32) * scale
+
+
+def _bilinear_sample(x, rows_f, cols_f):
+    """Sample (B, H, W, C) at fractional (B, P) coords -> (B, P, C)."""
+    b, h, w, c = x.shape
+    r0 = jnp.clip(jnp.floor(rows_f).astype(jnp.int32), 0, h - 1)
+    c0 = jnp.clip(jnp.floor(cols_f).astype(jnp.int32), 0, w - 1)
+    r1 = jnp.minimum(r0 + 1, h - 1)
+    c1 = jnp.minimum(c0 + 1, w - 1)
+    rf = (rows_f - r0.astype(jnp.float32)).astype(x.dtype)[..., None]
+    cf = (cols_f - c0.astype(jnp.float32)).astype(x.dtype)[..., None]
+    flat = x.reshape(b, h * w, c)
+
+    def take(r, cc):
+        return jnp.take_along_axis(flat, (r * w + cc)[..., None], axis=1)
+
+    top = take(r0, c0) * (1 - cf) + take(r0, c1) * cf
+    bot = take(r1, c0) * (1 - cf) + take(r1, c1) * cf
+    return top * (1 - rf) + bot * rf
+
+
 class PSPUpsample(nn.Module):
     """2x bilinear (align_corners) + 3x3 conv + BN + PReLU
-    (reference: pspnet.py:34-45)."""
+    (reference: pspnet.py:34-45).  ``sparse`` evaluates the SAME stage
+    (same params) at arbitrary output pixels only."""
     features: int
     train: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.conv = nn.Conv(self.features, (3, 3),
+                            padding=((1, 1), (1, 1)), use_bias=True,
+                            dtype=self.dtype, param_dtype=jnp.float32)
+        self.bn = BatchNorm(use_running_average=not self.train,
+                            dtype=self.dtype)
+        self.prelu = PReLU()
+
     def __call__(self, x, bn_momentum=0.1):
         h, w = x.shape[-3], x.shape[-2]
         x = resize_bilinear(x, 2 * h, 2 * w, align_corners=True)
-        x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=True, dtype=self.dtype,
-                    param_dtype=jnp.float32)(x)
-        x = BatchNorm(use_running_average=not self.train,
-                      dtype=self.dtype)(x, bn_momentum)
-        return PReLU()(x)
+        x = self.conv(x)
+        x = self.bn(x, bn_momentum)
+        return self.prelu(x)
+
+    def sparse(self, x, rows, cols, bn_momentum=0.1):
+        """Evaluate at output pixels (rows, cols): (B, H, W, C), (B, P) ->
+        (B, P, features).  The 3x3 conv input patch is reconstructed by
+        bilinear-sampling the (2H, 2W) virtual upsampled map; positions
+        outside it contribute zeros (the conv's zero padding)."""
+        b, h, w, _ = x.shape
+        oh, ow = 2 * h, 2 * w
+        patches = []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                rr = rows + dr
+                cc = cols + dc
+                inside = ((rr >= 0) & (rr < oh) & (cc >= 0) & (cc < ow))
+                rf = _align_corners_coords(jnp.clip(rr, 0, oh - 1), h, oh)
+                cf = _align_corners_coords(jnp.clip(cc, 0, ow - 1), w, ow)
+                v = _bilinear_sample(x, rf, cf)          # (B, P, C)
+                patches.append(jnp.where(inside[..., None], v, 0))
+        patch = jnp.stack(patches, axis=2)               # (B, P, 9, C)
+        p = patch.shape[1]
+        patch = patch.reshape(b * p, 3, 3, x.shape[-1])
+        y = self.conv(patch)[:, 1, 1, :].reshape(b, p, self.features)
+        y = self.bn(y, bn_momentum)
+        return self.prelu(y)
 
 
 class PSPNetEmbedding(nn.Module):
     """Full image branch: trunk -> PSP -> 3x upsample -> (embedding, seg).
 
-    Returns a (B, H, W, embedding_dim) per-pixel embedding and a
+    Dense mode returns a (B, H, W, embedding_dim) per-pixel embedding and a
     (B, H, W, n_classes) log-softmax seg map (the latter is returned-but-
     unused in the reference loss, pvn3d.py:286; kept for API parity).
+    With ``choose`` (B, P) flat full-res pixel indices, the final upsample
+    stage and heads run sparsely and the result is (B, P, embedding_dim)
+    with seg=None.
     """
     n_classes: int = 22
     sizes: Sequence[int] = (1, 2, 3, 6)
@@ -81,22 +146,46 @@ class PSPNetEmbedding(nn.Module):
     train: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, rgb, bn_momentum=0.1):
-        x = DilatedResNet(layers=self.backbone_layers, train=self.train,
-                          dtype=self.dtype, name="trunk")(rgb, bn_momentum)
-        x = PSPModule(out_features=self.psp_out, sizes=self.sizes,
-                      dtype=self.dtype, name="psp")(x)
-        x = nn.Dropout(self.dropout_psp, deterministic=not self.train)(x)
-        for i, ch in enumerate(self.up_channels):
-            x = PSPUpsample(features=ch, train=self.train, dtype=self.dtype,
-                            name=f"up{i + 1}")(x, bn_momentum)
-            if i < len(self.up_channels) - 1:
-                x = nn.Dropout(self.dropout_up,
-                               deterministic=not self.train)(x)
-        emb = nn.Conv(self.embedding_dim, (1, 1), dtype=self.dtype,
-                      param_dtype=jnp.float32, name="final")(x)
-        seg = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype,
-                      param_dtype=jnp.float32, name="final_seg")(x)
-        seg = nn.log_softmax(seg.astype(jnp.float32), axis=-1)
-        return emb, seg
+    def setup(self):
+        self.trunk = DilatedResNet(layers=self.backbone_layers,
+                                   train=self.train, dtype=self.dtype)
+        self.psp = PSPModule(out_features=self.psp_out, sizes=self.sizes,
+                             dtype=self.dtype)
+        self.drop_psp = nn.Dropout(self.dropout_psp,
+                                   deterministic=not self.train)
+        self.ups = [PSPUpsample(features=ch, train=self.train,
+                                dtype=self.dtype, name=f"up{i + 1}")
+                    for i, ch in enumerate(self.up_channels)]
+        self.drop_ups = [nn.Dropout(self.dropout_up,
+                                    deterministic=not self.train)
+                         for _ in range(len(self.up_channels) - 1)]
+        self.final = nn.Conv(self.embedding_dim, (1, 1), dtype=self.dtype,
+                             param_dtype=jnp.float32)
+        self.final_seg = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype,
+                                 param_dtype=jnp.float32)
+
+    def __call__(self, rgb, bn_momentum=0.1,
+                 choose: Optional[jnp.ndarray] = None):
+        x = self.trunk(rgb, bn_momentum)
+        x = self.psp(x)
+        x = self.drop_psp(x)
+        n_up = len(self.ups)
+        for i in range(n_up - 1):
+            x = self.ups[i](x, bn_momentum)
+            x = self.drop_ups[i](x)
+
+        if choose is None:
+            x = self.ups[-1](x, bn_momentum)
+            emb = self.final(x)
+            seg = self.final_seg(x)
+            seg = nn.log_softmax(seg.astype(jnp.float32), axis=-1)
+            return emb, seg
+
+        # Sparse tail at the chosen full-resolution pixels only.
+        out_w = x.shape[-2] * 2
+        rows = (choose // out_w).astype(jnp.int32)
+        cols = (choose % out_w).astype(jnp.int32)
+        pts = self.ups[-1].sparse(x, rows, cols, bn_momentum)  # (B, P, C)
+        b, p, c = pts.shape
+        emb = self.final(pts.reshape(b, p, 1, c))[:, :, 0, :]
+        return emb, None

@@ -77,8 +77,12 @@ class PredictionHead(nn.Module):
 
 
 class PVN3D(nn.Module):
+    """Full model.  ``sparse_cnn=True`` (inference) evaluates the CNN tail
+    only at the sampled pixels — identical parameters and outputs to the
+    dense gather path (see PSPNetEmbedding)."""
     cfg: ModelConfig
     train: bool = True
+    sparse_cnn: bool = False
 
     @nn.compact
     def __call__(self, pointcloud, rgb, choose, bn_momentum=0.1):
@@ -93,27 +97,32 @@ class PVN3D(nn.Module):
         Returns:
           dict with ``seg_logits`` (B, N, n_classes) raw logits,
           ``kp_offsets`` (B, n_kps, N, 3), ``ctr_offsets`` (B, 1, N, 3),
-          ``rgb_seg`` (B, H, W, n_classes) auxiliary image-space log-probs.
+          ``rgb_seg`` (B, H, W, n_classes) auxiliary image-space log-probs
+          (None in sparse mode).
         """
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         b, n, _ = pointcloud.shape
 
-        emb_map, rgb_seg = PSPNetEmbedding(
+        cnn = PSPNetEmbedding(
             n_classes=cfg.n_classes, sizes=cfg.cnn.psp_sizes,
             psp_out=cfg.cnn.psp_out, up_channels=cfg.cnn.up_channels,
             embedding_dim=cfg.cnn.embedding_dim,
             dropout_psp=cfg.cnn.dropout_psp, dropout_up=cfg.cnn.dropout_up,
             backbone_layers=cfg.cnn.backbone_layers,
-            train=self.train, dtype=dtype, name="cnn")(
-                rgb.astype(dtype), bn_momentum)
+            train=self.train, dtype=dtype, name="cnn")
 
-        # Gather the per-pixel embedding of every sampled point
-        # (reference: pvn3d.py:288-292, channels-last here).
-        h, w, di = emb_map.shape[1], emb_map.shape[2], emb_map.shape[3]
-        emb_flat = emb_map.reshape(b, h * w, di)
-        rgb_emb = jnp.take_along_axis(
-            emb_flat, choose[..., None].astype(jnp.int32), axis=1)
+        if self.sparse_cnn:
+            rgb_emb, rgb_seg = cnn(rgb.astype(dtype), bn_momentum,
+                                   choose=choose.astype(jnp.int32))
+        else:
+            emb_map, rgb_seg = cnn(rgb.astype(dtype), bn_momentum)
+            # Gather the per-pixel embedding of every sampled point
+            # (reference: pvn3d.py:288-292, channels-last here).
+            h, w, di = emb_map.shape[1], emb_map.shape[2], emb_map.shape[3]
+            emb_flat = emb_map.reshape(b, h * w, di)
+            rgb_emb = jnp.take_along_axis(
+                emb_flat, choose[..., None].astype(jnp.int32), axis=1)
 
         cld_emb = PointNet2MSG(cfg=cfg.pointnet2, train=self.train,
                                dtype=dtype, name="pointnet2")(
