@@ -4,11 +4,9 @@ The reference clusters votes sequentially — one `MeanShiftTorch.fit` per
 class and per keypoint inside Python loops and a thread pool
 (pvn3d/lib/utils/pvn3d_eval_utils.py:83-97, meanshift_pytorch.py:24-51).
 Here every (class, keypoint-or-center) hypothesis is one row of a padded
-(H, K, 3) problem batch and the Gaussian fixed-point iteration runs for all
-hypotheses simultaneously inside one jitted program, chunked so only
-(chunk, K, K) distance tiles are ever materialized.
+(H, K, 3) problem batch.
 
-Exact reference semantics reproduced (meanshift_pytorch.py:24-51):
+Exact reference semantics (meanshift_pytorch.py:24-51):
   * every point is a seed; iterate C_i <- sum_j w_ij A_j / sum_j w_ij with
     w_ij = N(||C_i - A_j||; bw) until max ||ΔC|| < bw*1e-3 or max_iter;
   * the winning seed maximizes the count of points within ``bandwidth`` of
@@ -16,6 +14,16 @@ Exact reference semantics reproduced (meanshift_pytorch.py:24-51):
     meanshift_pytorch.py:45-48);
   * returned center = converged mode of the winning seed; returned labels =
     points within ``bandwidth`` of the winning seed's original position.
+
+Key structural observation: the winner is decided by ORIGINAL-position
+density — independent of the iteration — and only the winner's converged
+mode is ever returned.  So the default path ("winner") computes the
+density/labels with one (K, K) pass and then iterates ONLY the winning
+seed: O(K) per iteration instead of O(K^2), turning the reference's
+O(iters * K^2) per hypothesis into O(K^2 + iters * K).  The all-seeds
+fixed point ("dense" mode) is kept for oracle comparison; both satisfy the
+same per-seed stopping rule, so the returned mode differs only by
+sub-stop-threshold amounts (< bandwidth * 1e-3).
 
 Masking: ``mask`` marks valid (non-pad) points per hypothesis.  Invalid
 points get zero kernel weight and can never win the seed vote.
@@ -40,10 +48,38 @@ def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
                        0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "chunk"))
+def _winner_stats(points, mask, bandwidth, chunk):
+    """One chunked (K, K) pass over ORIGINAL positions: winning seed index,
+    cluster labels and counts (meanshift_pytorch.py:45-51 semantics)."""
+    h, k, _ = points.shape
+    bw2 = jnp.float32(bandwidth * bandwidth)
+    n_chunks = -(-h // chunk)
+    pad = n_chunks * chunk - h
+    pts = jnp.pad(points, ((0, pad), (0, 0), (0, 0)))
+    msk = jnp.pad(mask, ((0, pad), (0, 0)))
+
+    def per_chunk(args):
+        a, m = args
+        d2 = _pairwise_sqdist(a, a)
+        in_bw = (d2 < bw2) & m[:, None, :] & m[:, :, None]
+        num_in = jnp.sum(in_bw, axis=-1).astype(jnp.int32)
+        win = jnp.argmax(num_in, axis=-1)
+        labels = jnp.take_along_axis(in_bw, win[:, None, None],
+                                     axis=1)[:, 0, :]
+        counts = jnp.take_along_axis(num_in, win[:, None], axis=1)[:, 0]
+        return win.astype(jnp.int32), labels, counts
+
+    win, labels, counts = jax.lax.map(
+        per_chunk, (pts.reshape(n_chunks, chunk, k, 3),
+                    msk.reshape(n_chunks, chunk, k)))
+    return (win.reshape(-1)[:h], labels.reshape(-1, k)[:h],
+            counts.reshape(-1)[:h])
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "chunk", "mode"))
 def mean_shift_fit(points: jnp.ndarray, mask: jnp.ndarray,
                    bandwidth: float, max_iter: int = 300,
-                   chunk: int = 16):
+                   chunk: int = 16, mode: str = "winner"):
     """Run masked MeanShift on a batch of padded point sets.
 
     Args:
@@ -51,31 +87,64 @@ def mean_shift_fit(points: jnp.ndarray, mask: jnp.ndarray,
       mask: (H, K) bool validity.
       bandwidth: kernel bandwidth (reference radius=0.08 for votes).
       max_iter: iteration cap (reference: 300).
-      chunk: hypotheses processed per distance-tile chunk.
+      chunk: hypotheses per (K, K) distance tile.
+      mode: "winner" (default; iterate only the winning seed) or "dense"
+        (all seeds, the literal reference fixed point).
 
     Returns:
       centers (H, 3): winning mode per problem;
       labels (H, K) bool: in-bandwidth membership of the winning cluster;
       counts (H,) int32: winning cluster size.
     """
-    h, k, _ = points.shape
-    n_chunks = -(-h // chunk)
-    pad = n_chunks * chunk - h
-    pts = jnp.pad(points.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
-    msk = jnp.pad(mask.astype(bool), ((0, pad), (0, 0)))
-    pts_c = pts.reshape(n_chunks, chunk, k, 3)
-    msk_c = msk.reshape(n_chunks, chunk, k)
+    points = points.astype(jnp.float32)
+    mask = mask.astype(bool)
+    if mode == "dense":
+        return _fit_dense(points, mask, bandwidth, max_iter, chunk)
 
-    fn = functools.partial(_fit_chunk, bandwidth=bandwidth,
-                           max_iter=max_iter)
-    centers, labels, counts = jax.lax.map(fn, (pts_c, msk_c))
-    centers = centers.reshape(n_chunks * chunk, 3)[:h]
-    labels = labels.reshape(n_chunks * chunk, k)[:h]
-    counts = counts.reshape(n_chunks * chunk)[:h]
+    win, labels, counts = _winner_stats(points, mask, bandwidth, chunk)
+    bw = jnp.float32(bandwidth)
+    stop = bw * 1e-3
+    wmask = mask.astype(jnp.float32)                      # (H, K)
+    seed = jnp.take_along_axis(points, win[:, None, None], axis=1)[:, 0, :]
+
+    def shift_once(c):
+        # c: (H, 3) -> next mean under the Gaussian kernel over points.
+        d2 = jnp.sum((points - c[:, None, :]) ** 2, axis=-1)   # (H, K)
+        w = jnp.exp(-0.5 * d2 / (bw * bw)) * wmask
+        wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-20)
+        return jnp.einsum("hk,hkc->hc", w, points) / wsum
+
+    def cond(carry):
+        _, it, max_shift = carry
+        return (max_shift >= stop) & (it < max_iter)
+
+    def body(carry):
+        c, it, _ = carry
+        new_c = shift_once(c)
+        shift = jnp.linalg.norm(new_c - c, axis=-1)
+        return new_c, it + 1, jnp.max(shift)
+
+    c0, it0, s0 = body((seed, jnp.int32(0), jnp.float32(jnp.inf)))
+    centers, _, _ = jax.lax.while_loop(cond, body, (c0, it0, s0))
     return centers, labels, counts
 
 
-def _fit_chunk(args, *, bandwidth: float, max_iter: int):
+def _fit_dense(points, mask, bandwidth, max_iter, chunk):
+    h, k, _ = points.shape
+    n_chunks = -(-h // chunk)
+    pad = n_chunks * chunk - h
+    pts = jnp.pad(points, ((0, pad), (0, 0), (0, 0)))
+    msk = jnp.pad(mask, ((0, pad), (0, 0)))
+    fn = functools.partial(_fit_chunk_dense, bandwidth=bandwidth,
+                           max_iter=max_iter)
+    centers, labels, counts = jax.lax.map(
+        fn, (pts.reshape(n_chunks, chunk, k, 3),
+             msk.reshape(n_chunks, chunk, k)))
+    return (centers.reshape(-1, 3)[:h], labels.reshape(-1, k)[:h],
+            counts.reshape(-1)[:h])
+
+
+def _fit_chunk_dense(args, *, bandwidth: float, max_iter: int):
     a, mask = args                           # (c, K, 3), (c, K)
     bw = jnp.float32(bandwidth)
     stop = bw * 1e-3
@@ -96,15 +165,12 @@ def _fit_chunk(args, *, bandwidth: float, max_iter: int):
         c_pts, it, _ = carry
         new_c = shift_once(c_pts)
         shift = jnp.linalg.norm(new_c - c_pts, axis=-1)
-        # Pad/invalid seeds contribute zero shift to the convergence test.
         shift = jnp.where(mask, shift, 0.0)
         return new_c, it + 1, jnp.max(shift)
 
-    # The reference's do-while always runs >= 1 iteration.
     c0, it0, s0 = body((a, jnp.int32(0), jnp.float32(jnp.inf)))
     c_final, _, _ = jax.lax.while_loop(cond, body, (c0, it0, s0))
 
-    # Winner: seed with most valid points within bw of its ORIGINAL position.
     d2_orig = _pairwise_sqdist(a, a)
     in_bw = (d2_orig < bw * bw) & mask[:, None, :] & mask[:, :, None]
     num_in = jnp.sum(in_bw, axis=-1).astype(jnp.int32)   # (c, K)

@@ -137,3 +137,19 @@ def test_evaluator_auc_protocol():
     assert s["per_class"][2]["add_auc"] == 0.0
     # Symmetric class 2 uses ADD-S for the ADD(-S) column.
     assert s["per_class"][2]["add_s_auc"] > 90.0
+
+
+def test_meanshift_winner_matches_dense_mode():
+    rng = np.random.RandomState(7)
+    pts = np.concatenate([
+        rng.normal([0, 0, 1], 0.02, (40, 3)),
+        rng.normal([0.4, 0.1, 1.2], 0.03, (25, 3)),
+        rng.uniform(-0.5, 0.5, (15, 3)) + [0, 0, 1],
+    ]).astype(np.float32)[None]
+    mask = np.ones((1, 80), bool)
+    cw, lw, nw = mean_shift_fit(pts, mask, 0.08, mode="winner")
+    cd, ld, nd = mean_shift_fit(pts, mask, 0.08, mode="dense")
+    # Winner selection/labels identical; modes agree to ~stop-threshold.
+    np.testing.assert_array_equal(np.asarray(lw), np.asarray(ld))
+    assert int(nw[0]) == int(nd[0])
+    np.testing.assert_allclose(np.asarray(cw), np.asarray(cd), atol=5e-4)
