@@ -24,7 +24,7 @@ def build_configs(ycb_root: str, lm_root: str, ckpt_root: str):
     py = [sys.executable, "-m"]
     cfgs = []
     # 1. LineMOD ape single-object eval (pretrained checkpoint).
-    cfgs.append(("lm_ape_eval", py + [
+    cfgs.append(("lm_ape_eval_pretrained", py + [
         "pvn3d_tpu.apps.evaluate", "--dataset", "linemod", "--cls", "ape",
         "--data_root", lm_root,
         "--checkpoint_dir", f"{ckpt_root}/lm_ape"]))
