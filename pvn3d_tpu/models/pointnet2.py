@@ -18,9 +18,9 @@ import jax.numpy as jnp
 from pvn3d_tpu.config import PointNet2Config, SALevelConfig
 from pvn3d_tpu.models.layers import SharedMLP
 from pvn3d_tpu.ops import (
-    furthest_point_sample, gather_points, query_and_group, three_nn,
-    three_interpolate,
+    furthest_point_sample, gather_points, three_nn, three_interpolate,
 )
+from pvn3d_tpu.ops.grouping import ball_query_multi, group_points
 from pvn3d_tpu.ops.interpolate import idw_weights
 
 
@@ -37,16 +37,22 @@ class SetAbstractionMSG(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features, bn_momentum=0.1):
-        # FPS runs on f32 coordinates; indices are reused for every scale.
+        # FPS runs on f32 coordinates; indices are reused for every scale,
+        # and the scales share one distance matrix (ball_query_multi).
         idx = furthest_point_sample(xyz, self.level.npoint)
         new_xyz = gather_points(xyz, idx)
+        scale_idx = ball_query_multi(self.level.radii, self.level.nsamples,
+                                     xyz, new_xyz)
         outs = []
-        for i, (radius, nsample, widths) in enumerate(zip(
-                self.level.radii, self.level.nsamples, self.level.mlps)):
-            grouped = query_and_group(
-                radius, nsample, xyz, new_xyz, features,
-                use_xyz=self.use_xyz)             # (B, np, ns, 3+C)
-            grouped = grouped.astype(self.dtype)
+        for i, (g_idx, widths) in enumerate(zip(scale_idx, self.level.mlps)):
+            grouped_xyz = group_points(xyz, g_idx) - new_xyz[:, :, None, :]
+            if features is not None:
+                grouped_feat = group_points(features, g_idx)
+                grouped = (jnp.concatenate([grouped_xyz, grouped_feat], -1)
+                           if self.use_xyz else grouped_feat)
+            else:
+                grouped = grouped_xyz
+            grouped = grouped.astype(self.dtype)  # (B, np, ns, 3+C)
             feat = SharedMLP(widths, train=self.train, dtype=self.dtype,
                              name=f"mlp{i}")(grouped, bn_momentum)
             outs.append(jnp.max(feat, axis=2))    # (B, np, width)

@@ -101,6 +101,66 @@ def _ball_query_single(xyz, centroids, radius, nsample, mode, chunk_m,
     return out[:m]
 
 
+def ball_query_multi(radii, nsamples, xyz: jnp.ndarray,
+                     new_xyz: jnp.ndarray, mode: str = "auto",
+                     chunk_m: int = 512, recall: float = 0.99):
+    """Ball query for several (radius, nsample) scales sharing one distance
+    matrix — the MSG grouping pattern (two scales per SA level,
+    pvn3d/lib/pvn3d.py:67-112) computes d^2 once instead of per scale.
+
+    Returns a list of (B, m, nsample_s) int32 index tables, one per scale.
+    """
+    if mode == "auto":
+        mode = "approx" if jax.default_backend() == "tpu" else "exact"
+    radii = tuple(radii)
+    nsamples = tuple(nsamples)
+
+    def single(x, c):
+        n = x.shape[0]
+        m = c.shape[0]
+        x_sq = jnp.sum(x * x, axis=-1)
+        n_chunks = max(1, -(-m // chunk_m))
+        pad = n_chunks * chunk_m - m
+        cen = jnp.pad(c, ((0, pad), (0, 0))) if pad else c
+        cen = cen.reshape(n_chunks, chunk_m, 3)
+
+        def per_chunk(cc):
+            c_sq = jnp.sum(cc * cc, axis=-1)
+            cross = jnp.dot(cc, x.T, preferred_element_type=jnp.float32)
+            d2 = c_sq[:, None] - 2.0 * cross + x_sq[None, :]
+            iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            outs = []
+            for radius, nsample in zip(radii, nsamples):
+                hit = d2 < jnp.float32(radius * radius)
+                score = jnp.where(hit, iota, n).astype(jnp.float32)
+                k = min(nsample, n)
+                if mode == "approx":
+                    vals, _ = jax.lax.approx_min_k(score, k,
+                                                   recall_target=recall)
+                    idx = vals.astype(jnp.int32)
+                else:
+                    neg, _ = jax.lax.top_k(-score, k)
+                    idx = (-neg).astype(jnp.int32)
+                if k < nsample:
+                    idx = jnp.concatenate(
+                        [idx, jnp.broadcast_to(
+                            idx[:, :1], (idx.shape[0], nsample - k))],
+                        axis=1)
+                count = jnp.sum(hit, axis=-1).astype(jnp.int32)
+                first = jnp.where(count > 0, idx[:, 0], 0)
+                slots = jnp.arange(nsample)[None, :]
+                outs.append(jnp.where(slots < count[:, None],
+                                      jnp.minimum(idx, n - 1),
+                                      first[:, None]))
+            return tuple(outs)
+
+        outs = jax.lax.map(per_chunk, cen)
+        return tuple(o.reshape(n_chunks * chunk_m, -1)[:m] for o in outs)
+
+    outs = jax.vmap(single)(xyz, new_xyz)
+    return list(outs)
+
+
 def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather features by a grouping index table.
 

@@ -236,3 +236,15 @@ class TestInterpolate:
         w = jnp.full((1, 3, 3), 1.0 / 3)
         g = jax.grad(lambda f: three_interpolate(f, idx, w).sum())(feats)
         np.testing.assert_allclose(float(g[0, 0, 0]), 3.0, atol=1e-6)
+
+
+class TestBallQueryMulti:
+    def test_matches_single_scale_queries(self):
+        from pvn3d_tpu.ops.grouping import ball_query_multi
+        rng = np.random.RandomState(0)
+        xyz = rng.uniform(-1, 1, (2, 200, 3)).astype(np.float32)
+        cen = xyz[:, :40]
+        multi = ball_query_multi((0.3, 0.6), (4, 8), xyz, cen)
+        for radius, ns, got in zip((0.3, 0.6), (4, 8), multi):
+            want = np.asarray(ball_query(radius, ns, xyz, cen))
+            np.testing.assert_array_equal(np.asarray(got), want)
