@@ -84,3 +84,20 @@ class DataLoader:
         if self.num_workers > 0:
             self._pool.close()
             self._pool.join()
+
+
+def prefetch_to_device(iterator, put, size: int = 2):
+    """Double-buffered device prefetch: keep ``size`` batches in flight so
+    H2D transfer overlaps with the running step (the reference relies on
+    torch DataLoader pinned-memory prefetch; train_ycb_pvn3d.py:425-438).
+
+    ``put`` maps a host batch to device arrays (e.g. mesh shard_batch).
+    """
+    import collections
+    buf = collections.deque()
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

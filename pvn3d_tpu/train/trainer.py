@@ -94,11 +94,14 @@ class Trainer:
         return means
 
     def fit(self, train_batches: Iterable, val_batches_fn=None,
-            max_steps: Optional[int] = None) -> None:
+            max_steps: Optional[int] = None,
+            prefetch: int = 2) -> None:
+        from pvn3d_tpu.data.loader import prefetch_to_device
         logger = MeterLogger("train")
-        for batch in train_batches:
+        for batch in prefetch_to_device(train_batches, self.put_batch,
+                                        size=prefetch):
             self.state, metrics = self.train_step(
-                self.state, self.put_batch(batch), self.rng)
+                self.state, batch, self.rng)
             it = int(self.state.step)
             logger.update(metrics)
             if it % self.log_every == 0:

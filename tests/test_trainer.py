@@ -60,3 +60,9 @@ def test_trainer_eval_epoch(tmp_path):
     out = trainer.eval_epoch([batch, batch])
     assert out["n_batches"] == 2
     assert np.isfinite(out["loss"])
+
+
+def test_prefetch_to_device_order_and_completeness():
+    from pvn3d_tpu.data.loader import prefetch_to_device
+    seen = list(prefetch_to_device(iter(range(7)), lambda x: x * 10, size=3))
+    assert seen == [0, 10, 20, 30, 40, 50, 60]
