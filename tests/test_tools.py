@@ -44,3 +44,38 @@ def test_device_loop_time_runs():
     import jax.numpy as jnp
     dt = device_loop_time(lambda i: i * 2.0, iters=4)
     assert dt >= 0
+
+
+def test_validate_frame_catches_bad_offsets():
+    from pvn3d_tpu.tools.check_dataset import validate_frame
+    n = 64
+    cld = np.random.RandomState(0).rand(n, 3).astype(np.float32)
+    labels = np.zeros(n, np.int32)
+    labels[:20] = 1
+    kp3 = np.random.RandomState(1).rand(8, 3).astype(np.float32)
+    ctr3 = kp3.mean(0)
+    kp_t = np.zeros((n, 8, 3), np.float32)
+    ctr_t = np.zeros((n, 1, 3), np.float32)
+    kp_t[:20] = cld[:20, None, :] - kp3[None]
+    ctr_t[:20, 0] = cld[:20] - ctr3[None]
+    sample = {
+        "pointcloud": np.concatenate(
+            [cld, np.zeros((n, 6), np.float32)], axis=1),
+        "labels": labels,
+        "kp_targ_ofst": kp_t, "ctr_targ_ofst": ctr_t,
+        "cls_ids": np.array([1, 0]),
+        "rts": np.zeros((2, 3, 4), np.float32),
+        "kp_3ds": np.stack([kp3, np.zeros_like(kp3)]),
+        "ctr_3ds": np.stack([ctr3, np.zeros(3, np.float32)]),
+    }
+    assert validate_frame(sample) == []
+    # Corrupt a keypoint offset -> caught.
+    bad = dict(sample)
+    bad["kp_targ_ofst"] = kp_t.copy()
+    bad["kp_targ_ofst"][5, 2] += 0.01
+    assert any("kp offsets" in e for e in validate_frame(bad))
+    # Offsets on background -> caught.
+    bad2 = dict(sample)
+    bad2["kp_targ_ofst"] = kp_t.copy()
+    bad2["kp_targ_ofst"][40] = 1.0
+    assert any("background" in e for e in validate_frame(bad2))
