@@ -29,6 +29,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="refine poses with batched ICP (eval_icp parity)")
     p.add_argument("--no_fill_depth", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--packed_dir", default="",
+                   help="evaluate from npz shards (tools/preprocess_testset)"
+                        " instead of raw frames — also the Occlusion-LineMOD"
+                        " path (pack the occ split first)")
     return p
 
 
@@ -90,8 +94,12 @@ def main(argv=None):
         icp_metrics = jax.jit(jax.vmap(
             lambda p, c, r: eval_frame_metrics(p, c, r, mesh_pts_j,
                                                mesh_valid_j)))
-    loader = DataLoader(make_dataset_factory(args, "test"),
-                        args.batch_size, num_workers=args.workers)
+    if args.packed_dir:
+        from pvn3d_tpu.tools.preprocess_testset import iter_packed_batches
+        loader = iter_packed_batches(args.packed_dir, args.batch_size)
+    else:
+        loader = DataLoader(make_dataset_factory(args, "test"),
+                            args.batch_size, num_workers=args.workers)
 
     ev = PoseEvaluator(n_cls=max(n_cls, obj_id + 1),
                        ds_type=args.dataset)

@@ -69,8 +69,10 @@ class DataLoader:
         if self.num_workers <= 0:
             sample_stream = (ds[i] for i in idx_stream)
         else:
-            self._pool = mp.Pool(self.num_workers, _init_worker,
-                                 (self.factory, self.seed))
+            # spawn: forking a thread-heavy (jax) parent can deadlock.
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(self.num_workers, _init_worker,
+                                  (self.factory, self.seed))
             sample_stream = self._pool.imap(
                 _fetch, idx_stream, chunksize=self.chunksize)
         batch = []

@@ -172,3 +172,12 @@ def test_fast_fill():
     np.testing.assert_allclose(inner[inner > 0.01], 1.0, atol=0.1)
     out2 = fill_missing(d * 1000, cam_scale=1000.0, fill_type="fast")
     assert np.isfinite(out2).all()
+
+
+def test_loader_multiprocess_workers():
+    from pvn3d_tpu.data.loader import DataLoader
+    dl = DataLoader(_ToyDS, batch_size=3, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 3
+    seen = sorted(np.concatenate([b["x"][:, 0] for b in batches]).tolist())
+    assert seen == [0.0, 1.0, 2.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0]
