@@ -79,3 +79,16 @@ def test_validate_frame_catches_bad_offsets():
     bad2["kp_targ_ofst"] = kp_t.copy()
     bad2["kp_targ_ofst"][40] = 1.0
     assert any("background" in e for e in validate_frame(bad2))
+
+
+def test_fake_linemod_generator_feeds_dataset(tmp_path):
+    from pvn3d_tpu.data.frame import FrameSpec
+    from pvn3d_tpu.data.linemod import LineMODDataset
+    from pvn3d_tpu.tools.fake_data import make_fake_linemod
+    root = make_fake_linemod(str(tmp_path), n_frames=3)
+    ds = LineMODDataset(root, cls_type="ape", split="test",
+                        spec=FrameSpec(n_sample_points=1024))
+    s = ds[0]
+    assert s is not None and s["pointcloud"].shape == (1024, 9)
+    from pvn3d_tpu.tools.check_dataset import validate_frame
+    assert validate_frame(s) == []
