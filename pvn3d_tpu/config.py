@@ -97,6 +97,9 @@ class PointNet2Config:
     """PointNet++ MSG semantic-seg trunk (reference: pvn3d.py:46-154)."""
     input_channels: int = 6          # rgb + normal features per point
     use_xyz: bool = True
+    # Neighbor-selection mode: "auto" (approx_min_k on TPU, exact top_k
+    # elsewhere), "exact", or "approx".
+    query_mode: str = "auto"
     sa_levels: Tuple[SALevelConfig, ...] = (
         SALevelConfig(2048, (0.0175, 0.025), (16, 32),
                       ((16, 16, 32), (32, 32, 64))),

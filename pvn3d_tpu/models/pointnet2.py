@@ -34,6 +34,7 @@ class SetAbstractionMSG(nn.Module):
     use_xyz: bool = True
     train: bool = True
     dtype: jnp.dtype = jnp.float32
+    query_mode: str = "auto"
 
     @nn.compact
     def __call__(self, xyz, features, bn_momentum=0.1):
@@ -42,7 +43,7 @@ class SetAbstractionMSG(nn.Module):
         idx = furthest_point_sample(xyz, self.level.npoint)
         new_xyz = gather_points(xyz, idx)
         scale_idx = ball_query_multi(self.level.radii, self.level.nsamples,
-                                     xyz, new_xyz)
+                                     xyz, new_xyz, mode=self.query_mode)
         outs = []
         for i, (g_idx, widths) in enumerate(zip(scale_idx, self.level.mlps)):
             grouped_xyz = group_points(xyz, g_idx) - new_xyz[:, :, None, :]
@@ -67,11 +68,12 @@ class FeaturePropagation(nn.Module):
     widths: Sequence[int]
     train: bool = True
     dtype: jnp.dtype = jnp.float32
+    query_mode: str = "auto"
 
     @nn.compact
     def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
                  bn_momentum=0.1):
-        dist, idx = three_nn(unknown_xyz, known_xyz)
+        dist, idx = three_nn(unknown_xyz, known_xyz, mode=self.query_mode)
         w = idw_weights(dist)
         interp = three_interpolate(
             known_feats.astype(jnp.float32), idx, w).astype(self.dtype)
@@ -98,7 +100,8 @@ class PointNet2MSG(nn.Module):
         for li, level in enumerate(self.cfg.sa_levels):
             nxyz, nfeat = SetAbstractionMSG(
                 level=level, use_xyz=self.cfg.use_xyz, train=self.train,
-                dtype=self.dtype, name=f"sa{li}")(
+                dtype=self.dtype, query_mode=self.cfg.query_mode,
+                name=f"sa{li}")(
                     l_xyz[li], l_feats[li], bn_momentum)
             l_xyz.append(nxyz)
             l_feats.append(nfeat)
@@ -108,7 +111,8 @@ class PointNet2MSG(nn.Module):
         for li in range(n_levels - 1, -1, -1):
             l_feats[li] = FeaturePropagation(
                 widths=self.cfg.fp_mlps[li], train=self.train,
-                dtype=self.dtype, name=f"fp{li}")(
+                dtype=self.dtype, query_mode=self.cfg.query_mode,
+                name=f"fp{li}")(
                     l_xyz[li], l_xyz[li + 1], l_feats[li], l_feats[li + 1],
                     bn_momentum)
         return l_feats[0]
