@@ -38,7 +38,10 @@ class YCBDataset:
 
     def __init__(self, root: str, split: str = "train",
                  spec: Optional[FrameSpec] = None, seed: int = 0,
-                 fill_depth: bool = True, kp_type: str = ""):
+                 fill_depth: bool = True, kp_type: str = "",
+                 file_list: str = ""):
+        """``file_list`` overrides the vendored split list (custom
+        subsets / smoke runs)."""
         self.root = root
         self.split = split
         self.spec = spec or FrameSpec()
@@ -49,10 +52,13 @@ class YCBDataset:
         self.kp_type = kp_type or (
             "farthest" if self.spec.n_keypoints == 8
             else f"farthest{self.spec.n_keypoints}")
-        cfg_dir = os.path.join(C.ASSETS_DIR, "ycb_config")
-        list_file = ("train_data_list.txt" if split == "train"
-                     else "test_data_list.txt")
-        self.all_lst = _read_lines(os.path.join(cfg_dir, list_file))
+        if file_list:
+            self.all_lst = _read_lines(file_list)
+        else:
+            cfg_dir = os.path.join(C.ASSETS_DIR, "ycb_config")
+            list_file = ("train_data_list.txt" if split == "train"
+                         else "test_data_list.txt")
+            self.all_lst = _read_lines(os.path.join(cfg_dir, list_file))
         self.real_lst = [i for i in self.all_lst if i.startswith("data/")]
         self.syn_lst = [i for i in self.all_lst if not i.startswith("data/")]
         self.add_noise = split == "train"
