@@ -14,7 +14,10 @@ masked indices* — a selection problem, not a scatter problem.  Scores are
     reduction (hardware bucketing + exact top-k over candidates).  33x the
     scatter/scan formulation this replaced; on depth-camera clouds the hit
     sets are small enough that it recovers the exact answer in practice
-    (recall_target 0.99 by default).
+    (recall_target 0.99 by default: ~99% neighbor-set recall on dense
+    depth clouds, with misses replaced by other in-radius points — the
+    reference's own first-k rule is an order-biased subsample.  0.999 is
+    effectively exact but costs ~2x across the levels; exact `top_k` ~5x).
   * ``exact`` — ``lax.top_k`` on the negated scores; bit-exact reference
     semantics including tie order.
 
