@@ -37,6 +37,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="multi-host: call jax.distributed.initialize()")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    # Hyperparameter overrides (reference argparse, train_ycb_pvn3d.py:39-92;
+    # 0/negative = keep the config default).
+    p.add_argument("--base_lr", type=float, default=0.0)
+    p.add_argument("--max_lr", type=float, default=0.0)
+    p.add_argument("--weight_decay", type=float, default=-1.0)
+    p.add_argument("--bn_momentum", type=float, default=0.0)
+    p.add_argument("--bn_decay", type=float, default=0.0)
+    p.add_argument("--decay_step", type=float, default=0.0)
+    p.add_argument("--epochs", type=int, default=0)
     return p
 
 
@@ -72,10 +81,27 @@ def main(argv=None):
 
     cfg = (Config.ycb() if args.dataset == "ycb"
            else Config.linemod(args.cls))
+    import dataclasses
+    overrides = {}
     if args.remat:
-        import dataclasses
+        overrides["remat"] = True
+    if args.base_lr > 0:
+        overrides["base_lr"] = args.base_lr
+    if args.max_lr > 0:
+        overrides["max_lr"] = args.max_lr
+    if args.weight_decay >= 0:
+        overrides["weight_decay"] = args.weight_decay
+    if args.bn_momentum > 0:
+        overrides["bn_momentum_init"] = args.bn_momentum
+    if args.bn_decay > 0:
+        overrides["bn_decay"] = args.bn_decay
+    if args.decay_step > 0:
+        overrides["bn_decay_step"] = args.decay_step
+    if args.epochs > 0:
+        overrides["n_total_epoch"] = args.epochs
+    if overrides:
         cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, remat=True))
+            cfg, train=dataclasses.replace(cfg.train, **overrides))
     batch_size = args.batch_size or cfg.train.mini_batch_size
     max_steps = args.max_steps or (
         cfg.train.n_total_epoch * cfg.train.num_mini_batch_per_epoch)
