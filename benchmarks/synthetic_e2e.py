@@ -1,0 +1,127 @@
+"""No-data end-to-end proof: train from scratch on the procedural world,
+then recover poses with the full pipeline and report ADD/ADD-S AUC.
+
+  python -m benchmarks.synthetic_e2e [--steps 600] [--batch 4] [--tiny]
+
+Passing means every stage works together: frame construction, model,
+losses, optimizer, BN stats, seg argmax, vote clustering, mask refinement,
+Umeyama fit, ADD metrics.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--eval_frames", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--n_points", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from pvn3d_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from pvn3d_tpu.config import Config, TrainConfig
+    from pvn3d_tpu.data.synthetic_world import SyntheticWorld
+    from pvn3d_tpu.inference.evaluator import PoseEvaluator, eval_frame_metrics
+    from pvn3d_tpu.inference.pipeline import make_pose_fn
+    from pvn3d_tpu.models.pvn3d import PVN3D
+    from pvn3d_tpu.train.state import create_train_state
+    from pvn3d_tpu.train.step import make_train_step
+
+    if args.tiny:
+        import __graft_entry__ as graft
+        cfg = graft._tiny_config()
+        h = w = 64
+    else:
+        cfg = Config.ycb()
+        h, w = cfg.model.image_height, cfg.model.image_width
+    n_points = args.n_points or cfg.model.n_sample_points
+    cfg = dataclasses.replace(
+        cfg, train=TrainConfig(base_lr=args.lr, max_lr=args.lr))
+
+    world = SyntheticWorld(n_classes=4,
+                           n_keypoints=cfg.model.n_keypoints, seed=0)
+    rng_np = np.random.RandomState(0)
+    kw = dict(n_points=n_points, height=h, width=w)
+    batch0 = world.sample_batch(rng_np, args.batch, **kw)
+
+    state, model, tx = create_train_state(cfg, jax.random.PRNGKey(0), batch0)
+    step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
+    rng = jax.random.PRNGKey(1)
+
+    t0 = time.perf_counter()
+    metrics = {}
+    for it in range(args.steps):
+        batch = world.sample_batch(rng_np, args.batch, **kw)
+        state, metrics = step(state, batch, rng)
+        if it % 100 == 0 or it == args.steps - 1:
+            print(f"it={it} loss={float(metrics['loss']):.3f} "
+                  f"acc={float(metrics['acc_rgbd']):.3f} "
+                  f"kp={float(metrics['loss_kp']):.3f}", flush=True)
+    print(f"trained {args.steps} steps in {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    # Inference + metrics with the trained weights.
+    eval_model = model.clone(train=False)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # Pad world class tables up to the model's class count (extra classes
+    # simply never occur in frames).
+    n_cls = cfg.model.n_classes
+    def pad_c(a):
+        out = np.zeros((n_cls,) + a.shape[1:], a.dtype)
+        out[:len(a)] = a
+        return out
+    radii = np.full(n_cls, 0.1, np.float32)
+    pose_fn = make_pose_fn(cfg, pad_c(world.stacked_kps), radii,
+                           refine_mask=True)
+    mesh_pts = jnp.asarray(pad_c(world.stacked_pts))
+    mesh_valid = jnp.asarray(pad_c(world.stacked_valid))
+
+    @jax.jit
+    def infer(batch):
+        out = eval_model.apply(variables, batch["pointcloud"], batch["rgb"],
+                               batch["choose"])
+        seg = jnp.argmax(out["seg_logits"], axis=-1).astype(jnp.int32)
+        frame = pose_fn(batch["pointcloud"][..., :3], seg,
+                        out["ctr_offsets"], out["kp_offsets"])
+        add, adds = jax.vmap(lambda p, c, r: eval_frame_metrics(
+            p, c, r, mesh_pts, mesh_valid))(
+                frame.poses, batch["cls_ids"], batch["rts"])
+        return seg, add, adds
+
+    ev = PoseEvaluator(n_cls=n_cls, sym_cls_ids=(), ds_type="syn")
+    seg_accs = []
+    for _ in range(max(args.eval_frames // args.batch, 1)):
+        batch = world.sample_batch(rng_np, args.batch, **kw)
+        seg, add, adds = infer(batch)
+        seg_accs.append(float(np.mean(
+            np.asarray(seg) == batch["labels"])))
+        for b in range(args.batch):
+            ev.add_frame(batch["cls_ids"][b], np.asarray(add)[b],
+                         np.asarray(adds)[b])
+    s = ev.summarize()
+    result = {
+        "metric": "synthetic_e2e_add_s_auc",
+        "value": round(s["all_add_s_auc"], 2),
+        "add_auc": round(s["all_add_auc"], 2),
+        "adds_auc": round(s["all_adds_auc"], 2),
+        "eval_seg_acc": round(float(np.mean(seg_accs)), 4),
+        "steps": args.steps,
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
+if __name__ == "__main__":
+    main()
