@@ -21,12 +21,25 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", choices=("ycb", "linemod"), default="ycb")
     p.add_argument("--cls", default="ape")
     p.add_argument("--data_root", required=True)
-    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--checkpoint_dir", default="",
+                   help="orbax run dir (or use --torch_ckpt)")
+    p.add_argument("--torch_ckpt", default="",
+                   help="evaluate a reference torch checkpoint "
+                        "(.pth.tar) converted on the fly — BASELINE "
+                        "config 1 path")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--max_frames", type=int, default=0)
     p.add_argument("--icp", action="store_true",
                    help="refine poses with batched ICP (eval_icp parity)")
+    p.add_argument("--occ", action="store_true",
+                   help="evaluate the Occlusion-LineMOD split: --data_root "
+                        "is an OCCLUSION_LINEMOD checkout (reference "
+                        "-test_occ, train_linemod_pvn3d.py:97-99 — whose "
+                        "OCC_LM_Dataset is undefined upstream)")
+    p.add_argument("--lm_root", default="",
+                   help="with --occ: Linemod_preprocessed checkout for "
+                        "object meshes (defaults to --data_root)")
     p.add_argument("--no_fill_depth", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--packed_dir", default="",
@@ -38,6 +51,10 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if not args.torch_ckpt and not args.checkpoint_dir:
+        raise SystemExit("need --checkpoint_dir or --torch_ckpt")
+    if args.occ and args.dataset != "linemod":
+        raise SystemExit("--occ requires --dataset linemod")
     from pvn3d_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     from pvn3d_tpu import config as C
@@ -60,8 +77,14 @@ def main(argv=None):
     example = synthetic_batch(cfg, batch_size=args.batch_size)
     state, model, _ = create_train_state(
         cfg, jax.random.PRNGKey(0), example)
-    state = CheckpointManager(args.checkpoint_dir).restore(state) or state
-    print(f"evaluating from step {int(state.step)}", flush=True)
+    if args.torch_ckpt:
+        from pvn3d_tpu.utils.torch_convert import load_state_from_torch
+        state = load_state_from_torch(state, args.torch_ckpt)
+        print(f"evaluating reference checkpoint {args.torch_ckpt}",
+              flush=True)
+    else:
+        state = CheckpointManager(args.checkpoint_dir).restore(state) or state
+        print(f"evaluating from step {int(state.step)}", flush=True)
     eval_model = model.clone(train=False)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
@@ -74,8 +97,10 @@ def main(argv=None):
         kps = np.stack([np.zeros_like(np.concatenate([kp, ctr])),
                         np.concatenate([kp, ctr])])
         radii = stacked_class_radii("linemod", 2)
+        mesh_root = (args.lm_root or args.data_root) if args.occ \
+            else args.data_root
         mesh_pts, mesh_valid = stacked_mesh_points(
-            args.data_root, "linemod", n_cls=2, max_points=2000)
+            mesh_root, "linemod", n_cls=2, max_points=2000)
     else:
         kps = stacked_mesh_kps("ycb", n_cls)
         radii = stacked_class_radii("ycb", n_cls)
@@ -103,25 +128,23 @@ def main(argv=None):
 
     ev = PoseEvaluator(n_cls=max(n_cls, obj_id + 1),
                        ds_type=args.dataset)
-    n_frames = 0
-    for batch in loader:
-        out = step(batch)
-        if icp_step is not None:
+
+    refine_fn = None
+    if icp_step is not None:
+        def refine_fn(batch, out):
+            icp_args = ()
+            if "depth" in batch:   # full-res reference-parity scene path
+                icp_args = (jnp.asarray(batch["depth"]),
+                            jnp.asarray(batch["cam_k"]))
             refined = icp_step(jnp.asarray(batch["pointcloud"][..., :3]),
-                               out["seg"], out["poses"])
-            out["add"], out["adds"] = icp_metrics(
-                refined, jnp.asarray(batch["cls_ids"]),
-                jnp.asarray(batch["rts"]))
-        cls_ids = np.asarray(batch["cls_ids"])
-        add = np.asarray(out["add"])
-        adds = np.asarray(out["adds"])
-        if is_lm:
-            cls_ids = np.where(cls_ids > 0, obj_id, 0)
-        for b in range(cls_ids.shape[0]):
-            ev.add_frame(cls_ids[b], add[b], adds[b])
-        n_frames += cls_ids.shape[0]
-        if args.max_frames and n_frames >= args.max_frames:
-            break
+                               out["seg"], out["poses"], *icp_args)
+            return icp_metrics(refined, jnp.asarray(batch["cls_ids"]),
+                               jnp.asarray(batch["rts"]))
+
+    from pvn3d_tpu.inference.pipeline import accumulate_batches
+    n_frames = accumulate_batches(
+        step, loader, ev, ds_type=args.dataset, obj_id=obj_id,
+        refine_fn=refine_fn, max_frames=args.max_frames)
     print(f"evaluated {n_frames} frames")
     if is_lm:
         summary = ev.summarize_linemod(obj_id, verbose=True)

@@ -37,6 +37,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="multi-host: call jax.distributed.initialize()")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pretrained_trunk", default="",
+                   help="torchvision resnet34 .pth to seed the image trunk "
+                        "(reference behavior: extractors.py:215-224)")
+    p.add_argument("--torch_ckpt", default="",
+                   help="full reference PVN3D .pth.tar to start from "
+                        "(converted via utils.torch_convert)")
     # Hyperparameter overrides (reference argparse, train_ycb_pvn3d.py:39-92;
     # 0/negative = keep the config default).
     p.add_argument("--base_lr", type=float, default=0.0)
@@ -51,12 +57,20 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def make_dataset_factory(args, split: str):
     from pvn3d_tpu.data.frame import FrameSpec
-    spec = FrameSpec()
+    # --icp (evaluate) needs the full-res depth map in the batch for the
+    # reference's full-resolution scene extraction (eval_icp.py:224-291).
+    spec = FrameSpec(keep_depth=getattr(args, "icp", False))
     if args.dataset == "ycb":
         from pvn3d_tpu.data.ycb import YCBDataset
         return functools.partial(YCBDataset, args.data_root, split=split,
                                  spec=spec, seed=args.seed,
                                  fill_depth=not args.no_fill_depth)
+    if getattr(args, "occ", False):
+        from pvn3d_tpu.data.occlusion_linemod import OcclusionLineMODDataset
+        return functools.partial(
+            OcclusionLineMODDataset, args.data_root, cls_type=args.cls,
+            split=split, spec=spec, seed=args.seed,
+            lm_root=getattr(args, "lm_root", "") or None)
     from pvn3d_tpu.data.linemod import LineMODDataset
     return functools.partial(LineMODDataset, args.data_root,
                              cls_type=args.cls, split=split, spec=spec,
@@ -110,6 +124,15 @@ def main(argv=None):
     example = synthetic_batch(cfg, batch_size=batch_size)
     rng = jax.random.PRNGKey(cfg.train.seed)
     state, model, tx = create_train_state(cfg, rng, example)
+    if args.torch_ckpt:
+        from pvn3d_tpu.utils.torch_convert import load_state_from_torch
+        state = load_state_from_torch(state, args.torch_ckpt)
+        print(f"loaded reference checkpoint {args.torch_ckpt}", flush=True)
+    elif args.pretrained_trunk:
+        from pvn3d_tpu.utils.torch_convert import load_state_from_torch
+        state = load_state_from_torch(state, args.pretrained_trunk,
+                                      trunk_only=True)
+        print(f"seeded image trunk from {args.pretrained_trunk}", flush=True)
     print(f"params: {param_count(state.params)/1e6:.2f}M  "
           f"devices: {jax.device_count()}  batch: {batch_size}", flush=True)
     state = jax.device_put(state, replicated(mesh))

@@ -100,6 +100,13 @@ class PointNet2Config:
     # Neighbor-selection mode: "auto" (approx_min_k on TPU, exact top_k
     # elsewhere), "exact", or "approx".
     query_mode: str = "auto"
+    # Sharded FPS: split each SA level's cloud into G strided groups and
+    # run G parallel FPS chains of m/G steps (ops/sampling.py).  1 =
+    # reference-exact serial FPS.  G=8 cuts the ~5 ms serial chain (~40%
+    # of single-frame forward latency) ~8x at slight centroid-set
+    # deviation (coverage within a few percent; validated end-to-end in
+    # benchmarks/synthetic_e2e.py).  Must divide every level's npoint.
+    fps_groups: int = 1
     sa_levels: Tuple[SALevelConfig, ...] = (
         SALevelConfig(2048, (0.0175, 0.025), (16, 32),
                       ((16, 16, 32), (32, 32, 64))),
@@ -198,7 +205,10 @@ class ClusterConfig:
     run as one batched masked fixed-point iteration.
     """
     bandwidth: float = 0.08
-    max_iter: int = 40
+    # Reference default (meanshift_pytorch.py:14); the fixed point
+    # early-exits on convergence (max shift < bw*1e-3) so the cap is
+    # rarely reached and costs nothing when unused.
+    max_iter: int = 300
     # Per-class point cap for the K x K clustering problem.  The reference
     # clusters all class points (ragged); we pad/subsample to a fixed K.
     max_points_per_class: int = 512

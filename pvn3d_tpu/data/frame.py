@@ -23,6 +23,10 @@ class FrameSpec:
     n_keypoints: int = 8
     n_min_points: int = 400          # reference: get_item returns None below
     max_instances: int = 12
+    # Carry the full-resolution depth / intrinsics / label map in the
+    # sample — needed by the full-res ICP scene path (reference:
+    # eval_icp.py:224-291 refines against the full-res depth cloud).
+    keep_depth: bool = False
 
 
 def sample_point_budget(n_valid: int, n_sample: int,
@@ -112,6 +116,12 @@ def build_frame(rgb: np.ndarray, depth: np.ndarray, label_map: np.ndarray,
         "choose": choose,
         "labels": labels,
     }
+    if spec.keep_depth:
+        # depth arrives here already divided by cam_scale (metric), so the
+        # full-res cloud is unproject(depth, k, 1.0) on device.
+        sample["depth"] = depth.astype(np.float32)
+        sample["cam_k"] = np.asarray(k, np.float32)
+        sample["label_map"] = label_map.astype(np.int32)
     sample.update(targets)
     return sample
 

@@ -52,10 +52,12 @@ class DataLoader:
 
     def _indices(self, n: int) -> Iterator[int]:
         if self.steps is not None:
-            # Infinite sampling-with-replacement stream (training).
-            rng = np.random.RandomState(self.seed)
-            for _ in range(self.steps * self.batch_size):
-                yield int(rng.randint(n))
+            # Training stream: the index is only a ticket — train-mode
+            # datasets sample their own item per call (the reference's
+            # real/syn generators, ycb_dataset.py:64-73), so a plain
+            # cycling counter is handed out, not a second RNG stream.
+            for i in range(self.steps * self.batch_size):
+                yield i % n
         else:
             order = np.arange(n)
             if self.shuffle:

@@ -100,14 +100,18 @@ class PoseEvaluator:
                 "add_s_auc": cal_auc(add_s),
                 "n": len(self.cls_add_dis[cls_id]),
             }
+        # Means over classes that actually appeared: subset evals (e.g.
+        # --max_frames smokes) must not drag the mean down with AUC-0
+        # entries for never-seen classes.
+        seen = [v for v in per_class.values() if v["n"] > 0]
+        if not seen:
+            seen = [{"add_auc": 0.0, "adds_auc": 0.0, "add_s_auc": 0.0}]
         summary = {
             "per_class": per_class,
-            "mean_add_auc": float(np.mean(
-                [v["add_auc"] for v in per_class.values()])),
-            "mean_adds_auc": float(np.mean(
-                [v["adds_auc"] for v in per_class.values()])),
+            "mean_add_auc": float(np.mean([v["add_auc"] for v in seen])),
+            "mean_adds_auc": float(np.mean([v["adds_auc"] for v in seen])),
             "mean_add_s_auc": float(np.mean(
-                [v["add_s_auc"] for v in per_class.values()])),
+                [v["add_s_auc"] for v in seen])),
             "all_add_auc": cal_auc(self.cls_add_dis[0]),
             "all_adds_auc": cal_auc(self.cls_adds_dis[0]),
             "all_add_s_auc": cal_auc(add_s_all),

@@ -108,17 +108,103 @@ def biggest_cluster_mask(points: jnp.ndarray, valid: jnp.ndarray,
     return labels & valid
 
 
+def propagate_labels_fullres(cloud_flat: jnp.ndarray, valid: jnp.ndarray,
+                             sample_cld: jnp.ndarray,
+                             sample_labels: jnp.ndarray,
+                             chunk: int = 4096) -> jnp.ndarray:
+    """1-NN label propagation from the sampled cloud to the full-res cloud.
+
+    Reference: fill_label_item (eval_icp.py:388-426) — sklearn 1-NN from
+    every full-res depth point to the 12288 sampled points, labels copied
+    from the nearest sample.  Here the (P, N) distance problem runs as a
+    scan of (chunk, N) MXU blocks.
+
+    Args:
+      cloud_flat: (P, 3) full-res camera-frame points (padded to a multiple
+        of ``chunk``).
+      valid: (P,) bool (depth > 1e-6).
+      sample_cld: (N, 3) sampled points.
+      sample_labels: (N,) int32 predicted labels of the samples.
+
+    Returns: (P,) int32 labels (0 where invalid).
+    """
+    p = cloud_flat.shape[0]
+    pad = (-p) % chunk
+    pts = jnp.pad(cloud_flat.astype(jnp.float32), ((0, pad), (0, 0)))
+    s_sq = jnp.sum(sample_cld * sample_cld, axis=-1)       # (N,)
+
+    def one_chunk(_, block):
+        cross = jnp.einsum("pc,nc->pn", block, sample_cld,
+                           preferred_element_type=jnp.float32)
+        d2 = s_sq[None, :] - 2.0 * cross    # + |block|² omitted: argmin-inv
+        return None, jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+    _, idx = jax.lax.scan(one_chunk, None,
+                          pts.reshape(-1, chunk, 3))
+    labels = sample_labels[idx.reshape(-1)[:p]]
+    return jnp.where(valid, labels, 0)
+
+
+def fullres_class_clouds(depth: jnp.ndarray, cam_k: jnp.ndarray,
+                         sample_cld: jnp.ndarray,
+                         sample_labels: jnp.ndarray, n_cls: int,
+                         k_per_class: int,
+                         label_map: jnp.ndarray | None = None):
+    """Per-class scene clouds from the full-resolution depth map.
+
+    Reference scene construction (eval_icp.py:124-170): the class mask on
+    the FULL-RES depth (predicted mask 1-NN-upsampled, or the GT label map
+    when ``label_map`` is given), randomly subsampled to ``k_per_class``
+    (:130-135, n_sample_points=2000), with the ICP gate evaluated on the
+    full-res class count (:146-151).  The random subsample becomes a
+    fixed pseudo-random priority + top-k — deterministic and batched.
+
+    Returns (scene (n_cls-1, k, 3), valid (n_cls-1, k), counts (n_cls-1,)).
+    Class c sits at row c-1 (background excluded).
+    """
+    from pvn3d_tpu.geometry.cloud import depth_to_cloud_map
+    cloud_map, valid_map = depth_to_cloud_map(depth, cam_k, 1.0)
+    p = depth.shape[0] * depth.shape[1]
+    cloud = cloud_map.reshape(p, 3)
+    valid = valid_map.reshape(p)
+    if label_map is None:
+        labels = propagate_labels_fullres(cloud, valid, sample_cld,
+                                          sample_labels)
+    else:
+        labels = jnp.where(valid, label_map.reshape(p).astype(jnp.int32), 0)
+
+    # Deterministic "uniform" subsample: a fixed pseudo-random priority per
+    # pixel; top-k by priority == random subset without replacement.
+    priority = jax.random.uniform(jax.random.PRNGKey(0), (p,),
+                                  jnp.float32, 1e-3, 1.0)
+
+    def one_class(c):
+        mask = valid & (labels == c)
+        count = jnp.sum(mask, dtype=jnp.int32)
+        score = jnp.where(mask, priority, -1.0)
+        top, idx = jax.lax.top_k(score, k_per_class)
+        return cloud[idx], top > 0.0, count
+
+    cls_ids = jnp.arange(1, n_cls, dtype=jnp.int32)
+    scene, sel_valid, counts = jax.vmap(one_class)(cls_ids)
+    return scene, sel_valid, counts
+
+
 def refine_frame_poses(init_poses, mesh_pts, mesh_valid, scene_pts,
                        scene_valid, min_points: int = 1500,
                        cluster_bandwidth: float = 0.06,
                        max_iter: int = 500, tolerance: float = 1e-9,
-                       use_cluster_filter: bool = True):
+                       use_cluster_filter: bool = True,
+                       gate_counts=None):
     """Per-class refinement with the reference's gating: classes with fewer
     than ``min_points`` scene points keep their initial pose
     (eval_icp.py:146-151); the scene cloud is prefiltered to its biggest
     cluster (:56-64).
 
-    All args batched over classes: (C, ...) arrays.
+    All args batched over classes: (C, ...) arrays.  ``gate_counts``
+    overrides the point count the gate sees — the reference evaluates it on
+    the full-res class pixel count *before* capping/cluster-filtering
+    (eval_icp.py:130-151), so the full-res path passes those counts here.
     """
     if use_cluster_filter:
         scene_valid = biggest_cluster_mask(
@@ -126,7 +212,8 @@ def refine_frame_poses(init_poses, mesh_pts, mesh_valid, scene_pts,
     refined, err, iters = icp_refine(
         mesh_pts, mesh_valid, scene_pts, scene_valid, init_poses,
         max_iter=max_iter, tolerance=tolerance)
-    n_pts = jnp.sum(scene_valid, axis=-1)
+    n_pts = (jnp.sum(scene_valid, axis=-1) if gate_counts is None
+             else gate_counts)
     keep = n_pts >= min_points
     poses = jnp.where(keep[:, None, None], refined, init_poses)
     return poses, err, iters

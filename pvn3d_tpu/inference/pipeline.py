@@ -85,14 +85,22 @@ def make_inference_step(cfg: Config, model, variables,
 
 def make_icp_step(cfg: Config, mesh_pts: np.ndarray, mesh_valid: np.ndarray):
     """Batched ICP refinement of per-class poses against the predicted-class
-    scene points (reference: eval_icp.py — there the scene comes from the
-    full-resolution depth + predicted mask; here from the sampled cloud,
-    capped at icp.max_scene_points per class).
+    scene points (reference: eval_icp.py).
 
-    Returns a jitted fn: (pcld (B,N,3), seg (B,N), poses (B,n_cls,3,4))
+    Returns a jitted fn:
+      (pcld (B,N,3), seg (B,N), poses (B,n_cls,3,4))          [sampled mode]
+      or additionally (depth (B,H,W), cam_k (B,3,3))          [full-res mode]
     -> refined poses (B, n_cls, 3, 4).
+
+    Full-res mode is reference parity: the scene is the full-resolution
+    depth cloud of the 1-NN-upsampled predicted mask, capped at
+    icp.max_scene_points per class, with the >= min_class_points gate on
+    the full-res count (eval_icp.py:224-291, :388-426, :146-151).  The
+    sampled mode (no depth map available, e.g. packed shards) falls back to
+    class points of the 12288-pt sampled cloud.
     """
-    from pvn3d_tpu.inference.icp import refine_frame_poses
+    from pvn3d_tpu.inference.icp import (fullres_class_clouds,
+                                         refine_frame_poses)
     from pvn3d_tpu.inference.pose import _select_class_points
 
     icp_cfg = cfg.icp
@@ -101,20 +109,58 @@ def make_icp_step(cfg: Config, mesh_pts: np.ndarray, mesh_valid: np.ndarray):
     mesh_pts_j = jnp.asarray(mesh_pts[1:], jnp.float32)
     mesh_valid_j = jnp.asarray(mesh_valid[1:])
 
+    def refine(ps, scene, valid, counts):
+        refined, _, _ = refine_frame_poses(
+            ps[1:], mesh_pts_j, mesh_valid_j, scene, valid,
+            min_points=icp_cfg.min_class_points,
+            cluster_bandwidth=icp_cfg.cluster_bandwidth,
+            max_iter=icp_cfg.max_iter, tolerance=icp_cfg.tolerance,
+            gate_counts=counts)
+        return jnp.concatenate([ps[:1], refined], axis=0)
+
     @jax.jit
-    def step(pcld, seg, poses):
+    def step(pcld, seg, poses, depth=None, cam_k=None):
+        if depth is not None:
+            def one_frame(pc, sg, ps, dp, ck):
+                scene, valid, counts = fullres_class_clouds(
+                    dp, ck, pc, sg, n_cls, k)
+                return refine(ps, scene, valid, counts)
+            return jax.vmap(one_frame)(pcld, seg, poses, depth, cam_k)
+
         def one_frame(pc, sg, ps):
             sel, valid, _ = _select_class_points(sg, n_cls, k)
-            scene = pc[sel]                                # (n_cls-1, k, 3)
-            refined, _, _ = refine_frame_poses(
-                ps[1:], mesh_pts_j, mesh_valid_j, scene, valid,
-                min_points=icp_cfg.min_class_points,
-                cluster_bandwidth=icp_cfg.cluster_bandwidth,
-                max_iter=icp_cfg.max_iter, tolerance=icp_cfg.tolerance)
-            return jnp.concatenate([ps[:1], refined], axis=0)
+            return refine(ps, pc[sel], valid, None)
         return jax.vmap(one_frame)(pcld, seg, poses)
 
     return step
+
+
+def accumulate_batches(step, batches, ev: PoseEvaluator,
+                       ds_type: str = "ycb", obj_id: int = 0,
+                       refine_fn=None, max_frames: int = 0) -> int:
+    """Shared eval accumulation loop (used by ``evaluate_dataset`` and
+    ``apps.evaluate``): run ``step`` per batch, optionally post-refine
+    the metrics via ``refine_fn(batch, out) -> (add, adds)``, and feed the
+    evaluator.  Returns the number of frames scored."""
+    n_frames = 0
+    for batch in batches:
+        out = step(batch)
+        if "add" not in out:
+            continue
+        if refine_fn is not None:
+            out["add"], out["adds"] = refine_fn(batch, out)
+        cls_ids = np.asarray(batch["cls_ids"])
+        add = np.asarray(out["add"])
+        adds = np.asarray(out["adds"])
+        if ds_type == "linemod":
+            # Single-object frames store class 1; score under obj_id.
+            cls_ids = np.where(cls_ids > 0, obj_id, 0)
+        for b in range(cls_ids.shape[0]):
+            ev.add_frame(cls_ids[b], add[b], adds[b])
+        n_frames += cls_ids.shape[0]
+        if max_frames and n_frames >= max_frames:
+            break
+    return n_frames
 
 
 def evaluate_dataset(cfg: Config, model, variables, batches,
@@ -130,18 +176,7 @@ def evaluate_dataset(cfg: Config, model, variables, batches,
                                mesh_pts, mesh_valid)
     ev = PoseEvaluator(n_cls=max(cfg.model.n_classes, obj_id + 1),
                        ds_type=ds_type)
-    for batch in batches:
-        out = step(batch)
-        if "add" not in out:
-            continue
-        cls_ids = np.asarray(batch["cls_ids"])
-        add = np.asarray(out["add"])
-        adds = np.asarray(out["adds"])
-        if ds_type == "linemod":
-            # Single-object frames store class 1; score under obj_id.
-            cls_ids = np.where(cls_ids > 0, obj_id, 0)
-        for b in range(cls_ids.shape[0]):
-            ev.add_frame(cls_ids[b], add[b], adds[b])
+    accumulate_batches(step, batches, ev, ds_type=ds_type, obj_id=obj_id)
     if ds_type == "linemod":
         return ev.summarize_linemod(obj_id, verbose=verbose)
     return ev.summarize(verbose=verbose)

@@ -84,3 +84,97 @@ def test_refine_gating_keeps_init_when_sparse():
         init[None], mesh_p[None], mesh_v[None], scene_p[None],
         scene_v[None], min_points=100, use_cluster_filter=False)
     np.testing.assert_allclose(np.asarray(poses2[0]), gt, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Full-resolution scene path (reference: eval_icp.py:224-291, :388-426).
+# ---------------------------------------------------------------------------
+import jax.numpy as jnp
+
+from pvn3d_tpu.inference.icp import (fullres_class_clouds,
+                                     propagate_labels_fullres)
+
+
+def test_propagate_labels_matches_numpy_1nn():
+    rng = np.random.RandomState(0)
+    cloud = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+    valid = rng.rand(500) > 0.2
+    samples = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    labels = rng.randint(0, 5, 64).astype(np.int32)
+    got = np.asarray(propagate_labels_fullres(
+        jnp.asarray(cloud), jnp.asarray(valid), jnp.asarray(samples),
+        jnp.asarray(labels), chunk=128))
+    d2 = ((cloud[:, None, :] - samples[None, :, :]) ** 2).sum(-1)
+    want = np.where(valid, labels[np.argmin(d2, axis=1)], 0)
+    np.testing.assert_array_equal(got, want)
+
+
+def _depth_scene(h=32, w=48, n_cls=4):
+    """A depth map whose left/right halves belong to classes 1 and 2."""
+    rng = np.random.RandomState(1)
+    depth = rng.uniform(0.5, 1.5, (h, w)).astype(np.float32)
+    depth[:, -4:] = 0.0                       # invalid stripe
+    label_map = np.zeros((h, w), np.int32)
+    label_map[:, : w // 2] = 1
+    label_map[:, w // 2:] = 2
+    cam_k = np.array([[50.0, 0, w / 2], [0, 50.0, h / 2], [0, 0, 1]],
+                     np.float32)
+    return depth, label_map, cam_k
+
+
+def test_fullres_class_clouds_counts_and_membership():
+    depth, label_map, cam_k = _depth_scene()
+    h, w = depth.shape
+    # Sampled cloud: one point per class region so 1-NN propagation is
+    # unambiguous about sides.
+    from pvn3d_tpu.geometry.cloud import depth_to_cloud_map
+    cloud_map, valid_map = jax.jit(depth_to_cloud_map)(
+        jnp.asarray(depth), jnp.asarray(cam_k))
+    cloud_map = np.asarray(cloud_map)
+    sample_cld = np.stack([cloud_map[h // 2, 2], cloud_map[h // 2, w - 8]])
+    sample_labels = np.array([1, 2], np.int32)
+
+    scene, valid, counts = jax.jit(
+        lambda d, k, sc, sl: fullres_class_clouds(d, k, sc, sl, 4, 100)
+    )(jnp.asarray(depth), jnp.asarray(cam_k), jnp.asarray(sample_cld),
+      jnp.asarray(sample_labels))
+    scene, valid, counts = map(np.asarray, (scene, valid, counts))
+
+    # 1-NN propagation splits points by nearest sample; counts must cover
+    # all valid pixels and class 3 must be empty.
+    assert counts[0] + counts[1] == int((depth > 1e-6).sum())
+    assert counts[2] == 0
+    assert valid[0].sum() == min(counts[0], 100)
+    assert valid[2].sum() == 0
+    # Selected class-1 points all lie in the left half (x < center ray).
+    sel = scene[0][valid[0]]
+    assert (sel[:, 0] < 0.02).all()
+
+
+def test_fullres_gate_uses_fullres_counts():
+    """The ICP gate must fire on the full-res class count, not the capped
+    selection (reference: eval_icp.py:146-151 gates on len(choose) of the
+    full-res mask)."""
+    depth, label_map, cam_k = _depth_scene()
+    scene, valid, counts = jax.jit(
+        lambda d, k, lm: fullres_class_clouds(
+            d, k, jnp.zeros((4, 3)), jnp.zeros((4,), jnp.int32), 4, 100,
+            label_map=lm)
+    )(jnp.asarray(depth), jnp.asarray(cam_k), jnp.asarray(label_map))
+    counts = np.asarray(counts)
+    # Full-res counts far exceed the 100-point cap: a gate of 500 must
+    # still pass (it sees counts, not the capped 100).
+    assert counts[0] > 500 and int(np.asarray(valid)[0].sum()) == 100
+    mesh_p, mesh_v, scene_p, scene_v, init, gt = _problem(3)
+    refined, _, _ = refine_frame_poses(
+        init[None], jnp.asarray(mesh_p)[None], jnp.asarray(mesh_v)[None],
+        jnp.asarray(scene_p)[None], jnp.asarray(scene_v)[None],
+        min_points=500, use_cluster_filter=False,
+        gate_counts=jnp.asarray([600]))
+    assert not np.allclose(np.asarray(refined)[0], init)   # gate open
+    kept, _, _ = refine_frame_poses(
+        init[None], jnp.asarray(mesh_p)[None], jnp.asarray(mesh_v)[None],
+        jnp.asarray(scene_p)[None], jnp.asarray(scene_v)[None],
+        min_points=500, use_cluster_filter=False,
+        gate_counts=jnp.asarray([400]))
+    np.testing.assert_allclose(np.asarray(kept)[0], init)  # gate closed
