@@ -18,18 +18,24 @@ from pvn3d_tpu.parallel.mesh import batch_sharding
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:
-    """jax.distributed bootstrap (no-op when already initialized or
-    single-process)."""
-    if jax.process_count() > 1:
+    """jax.distributed bootstrap (no-op when already initialized).
+
+    With explicit coordinator args a real bootstrap is demanded — errors
+    propagate.  With no args (the single-machine `--distributed` fast
+    path), a RuntimeError from the absence of any cluster environment is
+    tolerated: the run continues single-process.
+    """
+    if jax.distributed.is_initialized():
         return
-    kw = {}
     if coordinator_address is not None:
-        kw = dict(coordinator_address=coordinator_address,
-                  num_processes=num_processes, process_id=process_id)
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return
     try:
-        jax.distributed.initialize(**kw)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process environment
+        jax.distributed.initialize()
+    except RuntimeError:
+        pass  # no cluster auto-detect environment: stay single-process
 
 
 def process_local_batch_size(global_batch: int) -> int:

@@ -1,7 +1,14 @@
-"""Multi-host batch assembly (single-process degenerate case on the CPU
-mesh: local shard == global batch, laid out by the field specs)."""
+"""Multi-host batch assembly: single-process degenerate case on the CPU
+mesh, plus a real N=2-process jax.distributed bootstrap (subprocesses with
+a local coordinator running one full sharded train step each)."""
+import os
+import socket
+import subprocess
+import sys
+
 import jax
 import numpy as np
+import pytest
 
 from pvn3d_tpu.parallel.mesh import make_mesh
 from pvn3d_tpu.parallel.multihost import (global_batch_from_local,
@@ -29,3 +36,35 @@ def test_global_batch_from_local_shards_correctly():
                                local["pointcloud"])
     assert {s.data.shape for s in out["rgb"].addressable_shards} == {
         (1, 6, 6, 3)}
+
+
+def test_two_process_distributed_train_step():
+    """Real jax.distributed bootstrap: 2 CPU processes x 2 devices, local
+    coordinator, one tiny-config sharded train step per process — the
+    replicated loss must be identical on both (VERDICT r1 #6)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    losses = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if "loss=" in ln][-1]
+        losses.append(float(line.split("loss=")[1]))
+    assert losses[0] == losses[1], losses
+    assert np.isfinite(losses[0])
