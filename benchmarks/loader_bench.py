@@ -1,0 +1,110 @@
+"""Host input-pipeline throughput: frames/s of the dataset __getitem__ stack.
+
+SURVEY hard part #7: the reference needs 60 worker processes to feed its
+GPUs (train_ycb_pvn3d.py:425-428).  This bench measures what OUR host
+stack (depth completion + normals + augmentation + 12288-pt sampling)
+delivers per worker and in aggregate, and renders the feed-the-chip
+verdict against the measured chip-side rates (bench.py inference fps,
+train fps from CLAUDE.md).
+
+  python -m benchmarks.loader_bench [--root <ycb_root>] [--workers 0 4 8]
+
+Without --root a fake YCB checkout is generated in a temp dir — synthetic
+pixels, but the *work* (480x640 ip_basic fill, normal estimation, per-
+frame sampling) is the real per-frame cost, which is what is measured.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import tempfile
+import time
+
+import numpy as np
+
+
+def bench_workers(factory, n_workers: int, n_frames: int,
+                  batch_size: int = 4) -> float:
+    """Frames/s through the DataLoader with ``n_workers`` processes."""
+    from pvn3d_tpu.data.loader import DataLoader
+    steps = max(1, n_frames // batch_size)
+    loader = DataLoader(factory, batch_size, num_workers=n_workers,
+                        steps=steps, seed=0)
+    it = iter(loader)
+    next(it)                                   # warm up worker pool
+    t0 = time.perf_counter()
+    n = 0
+    for batch in it:
+        n += batch["pointcloud"].shape[0]
+    dt = time.perf_counter() - t0
+    return n / dt if n else 0.0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root", default="",
+                   help="YCB checkout (default: generate fake data)")
+    p.add_argument("--dataset", choices=("ycb", "linemod"), default="ycb")
+    p.add_argument("--cls", default="ape")
+    p.add_argument("--n_frames", type=int, default=48)
+    p.add_argument("--workers", type=int, nargs="+", default=[0, 4, 8])
+    p.add_argument("--chip_fps", type=float, default=52.0,
+                   help="measured chip-side e2e inference fps (bench.py)")
+    p.add_argument("--train_fps", type=float, default=40.0,
+                   help="measured chip-side train frames/s")
+    args = p.parse_args(argv)
+
+    import functools
+
+    tmp = None
+    if args.dataset == "ycb":
+        from pvn3d_tpu.data.ycb import YCBDataset
+        root = args.root
+        file_list = ""
+        if not root:
+            from pvn3d_tpu.tools.fake_data import make_fake_ycb
+            tmp = tempfile.TemporaryDirectory()
+            root = make_fake_ycb(tmp.name, n_frames=8)
+            file_list = f"{root}/image_list.txt"
+        factory = functools.partial(YCBDataset, root, split="train",
+                                    file_list=file_list)
+    else:
+        from pvn3d_tpu.data.linemod import LineMODDataset
+        root = args.root
+        if not root:
+            from pvn3d_tpu.tools.fake_data import make_fake_linemod
+            tmp = tempfile.TemporaryDirectory()
+            root = make_fake_linemod(tmp.name, n_frames=8)
+        factory = functools.partial(LineMODDataset, root,
+                                    cls_type=args.cls, split="train")
+
+    results = {}
+    for w in args.workers:
+        fps = bench_workers(factory, w, args.n_frames)
+        results[w] = round(fps, 2)
+        per_worker = fps / max(w, 1)
+        print(f"workers={w:2d}  loader_fps={fps:7.2f}  "
+              f"(per-worker {per_worker:6.2f})", flush=True)
+
+    best = max(results.values())
+    need_infer = args.chip_fps
+    need_train = args.train_fps
+    verdict = {
+        "metric": "host_loader_fps",
+        "value": best,
+        "unit": "frames/s",
+        "per_worker_fps": results,
+        "feeds_inference_chip": best >= need_infer,
+        "feeds_train_chip": best >= need_train,
+        "workers_to_feed_inference": (
+            int(np.ceil(need_infer / (best / max(max(results), 1))))
+            if best else None),
+    }
+    print(json.dumps(verdict))
+    if tmp is not None:
+        tmp.cleanup()
+    return verdict
+
+
+if __name__ == "__main__":
+    main()
