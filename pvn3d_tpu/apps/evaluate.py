@@ -41,6 +41,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="with --occ: Linemod_preprocessed checkout for "
                         "object meshes (defaults to --data_root)")
     p.add_argument("--no_fill_depth", action="store_true")
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="run depth completion / normals / point sampling "
+                        "on the chip inside the jitted pipeline (host "
+                        "workers only decode images) — removes the "
+                        "~70 ms/frame host loader bottleneck")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--packed_dir", default="",
                    help="evaluate from npz shards (tools/preprocess_testset)"
@@ -107,8 +112,21 @@ def main(argv=None):
         mesh_pts, mesh_valid = stacked_mesh_points(
             args.data_root, "ycb", n_cls)
 
-    step = make_inference_step(cfg, eval_model, variables, kps, radii,
-                               mesh_pts, mesh_valid)
+    if args.device_preprocess:
+        from pvn3d_tpu.inference.pipeline import make_raw_inference_step
+        raw_step = make_raw_inference_step(
+            cfg, eval_model, variables, kps, radii, mesh_pts, mesh_valid,
+            fill_depth=not is_lm and not args.no_fill_depth)
+        key = jax.random.PRNGKey(args.seed)
+
+        def step(batch):
+            nonlocal key
+            key, sub = jax.random.split(key)
+            return raw_step(
+                {k: jnp.asarray(v) for k, v in batch.items()}, sub)
+    else:
+        step = make_inference_step(cfg, eval_model, variables, kps, radii,
+                                   mesh_pts, mesh_valid)
     icp_step = None
     if args.icp:
         from pvn3d_tpu.inference.evaluator import eval_frame_metrics
@@ -133,11 +151,14 @@ def main(argv=None):
     if icp_step is not None:
         def refine_fn(batch, out):
             icp_args = ()
-            if "depth" in batch:   # full-res reference-parity scene path
+            if "depth_m" in out:   # device-preprocess path: filled on chip
+                icp_args = (out["depth_m"], jnp.asarray(batch["cam_k"]))
+            elif "depth" in batch:  # full-res reference-parity scene path
                 icp_args = (jnp.asarray(batch["depth"]),
                             jnp.asarray(batch["cam_k"]))
-            refined = icp_step(jnp.asarray(batch["pointcloud"][..., :3]),
-                               out["seg"], out["poses"], *icp_args)
+            pcld = (out["pointcloud"] if "pointcloud" in out
+                    else jnp.asarray(batch["pointcloud"]))[..., :3]
+            refined = icp_step(pcld, out["seg"], out["poses"], *icp_args)
             return icp_metrics(refined, jnp.asarray(batch["cls_ids"]),
                                jnp.asarray(batch["rts"]))
 

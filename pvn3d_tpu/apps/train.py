@@ -59,7 +59,9 @@ def make_dataset_factory(args, split: str):
     from pvn3d_tpu.data.frame import FrameSpec
     # --icp (evaluate) needs the full-res depth map in the batch for the
     # reference's full-resolution scene extraction (eval_icp.py:224-291).
-    spec = FrameSpec(keep_depth=getattr(args, "icp", False))
+    spec = FrameSpec(keep_depth=getattr(args, "icp", False),
+                     device_preprocess=getattr(args, "device_preprocess",
+                                               False))
     if args.dataset == "ycb":
         from pvn3d_tpu.data.ycb import YCBDataset
         return functools.partial(YCBDataset, args.data_root, split=split,

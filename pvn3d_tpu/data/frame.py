@@ -27,6 +27,12 @@ class FrameSpec:
     # sample — needed by the full-res ICP scene path (reference:
     # eval_icp.py:224-291 refines against the full-res depth cloud).
     keep_depth: bool = False
+    # Eval-only raw mode: the host skips depth completion, normals and
+    # point sampling entirely (the measured ~70 ms/frame loader cost,
+    # benchmarks/loader_bench.py) and ships raw rgb/depth/cam_k + GT
+    # poses; the jitted pipeline rebuilds the frame on device via
+    # data/device_frame.py (jnp twins in ops/preprocess.py).
+    device_preprocess: bool = False
 
 
 def sample_point_budget(n_valid: int, n_sample: int,
@@ -92,6 +98,21 @@ def build_frame(rgb: np.ndarray, depth: np.ndarray, label_map: np.ndarray,
     values to both branches — ycb_dataset.py:215-220 keeps raw pixel
     values as point features and never applies its `self.norm`).
     """
+    if spec.device_preprocess:
+        if int(np.count_nonzero(depth > 1e-6)) < spec.n_min_points:
+            return None
+        targets = build_targets(np.zeros((0, 3), np.float32),
+                                np.zeros((0,), np.int32), instances, spec)
+        sample = {
+            "rgb": rgb.astype(np.float32),
+            "depth": depth.astype(np.float32),   # metric (already /scale)
+            "cam_k": np.asarray(k, np.float32),
+            "label_map": label_map.astype(np.int32),
+            "cls_ids": targets["cls_ids"], "rts": targets["rts"],
+            "kp_3ds": targets["kp_3ds"], "ctr_3ds": targets["ctr_3ds"],
+        }
+        return sample
+
     cld, choose = depth_to_cloud(depth, k, cam_scale)
     if cld is None or len(choose) < spec.n_min_points:
         return None

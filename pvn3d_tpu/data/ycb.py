@@ -109,7 +109,9 @@ class YCBDataset:
                 rgb = augment.rgb_add_noise_ycb(self.rng, rgb)
 
         depth = depth.astype(np.float32)
-        if self.fill_depth:
+        if self.fill_depth and not self.spec.device_preprocess:
+            # raw mode defers ip_basic completion to the chip
+            # (ops/preprocess.py::fill_in_multiscale_jnp).
             depth = fill_missing(depth, cam_scale, 1.0)
 
         instances = []

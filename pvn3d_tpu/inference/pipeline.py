@@ -83,6 +83,60 @@ def make_inference_step(cfg: Config, model, variables,
     return step
 
 
+def make_raw_inference_step(cfg: Config, model, variables,
+                            mesh_kps: np.ndarray, radii: np.ndarray,
+                            mesh_pts: Optional[np.ndarray] = None,
+                            mesh_valid: Optional[np.ndarray] = None,
+                            fill_depth: bool = True,
+                            cam_scale: float = 1.0,
+                            refine_mask: Optional[bool] = None):
+    """Sensor-to-pose jitted step: batch dict with rgb (B,H,W,3) 0-255,
+    depth (B,H,W) native units, cam_k (B,3,3) -> poses (+ metrics when
+    GT cls_ids/rts slots and mesh points are given).
+
+    The entire reference host pipeline — ip_basic depth completion,
+    normal estimation, point sampling, feature assembly
+    (ycb_dataset.py:206-306 + 60 worker processes) — runs inside the same
+    XLA program as perceive->vote->cluster->fit, via the on-device frame
+    builder (data/device_frame.py).  The host only decodes images.
+    """
+    from pvn3d_tpu.data.device_frame import build_inference_batch_device
+
+    pose_fn = make_pose_fn(cfg, mesh_kps, radii, refine_mask=refine_mask)
+    n_sample = cfg.model.n_sample_points
+    has_metrics = mesh_pts is not None
+    if has_metrics:
+        mesh_pts_j = jnp.asarray(mesh_pts, jnp.float32)
+        mesh_valid_j = jnp.asarray(mesh_valid)
+
+    @jax.jit
+    def step(batch: Dict[str, jnp.ndarray], key):
+        rgb = batch["rgb"]
+        built = build_inference_batch_device(
+            rgb, batch["depth"], batch["cam_k"], key, n_sample=n_sample,
+            cam_scale=cam_scale, fill=fill_depth)
+        outputs = model.apply(variables, built["pointcloud"], rgb,
+                              built["choose"])
+        seg = jnp.argmax(outputs["seg_logits"], axis=-1).astype(jnp.int32)
+        pcld = built["pointcloud"][..., :3]
+        frame = pose_fn(pcld, seg, outputs["ctr_offsets"],
+                        outputs["kp_offsets"])
+        result = {"poses": frame.poses, "present": frame.present,
+                  "seg": seg, "choose": built["choose"],
+                  "pointcloud": built["pointcloud"],
+                  "depth_m": built["depth_m"]}
+        if has_metrics and "cls_ids" in batch:
+            add, adds = jax.vmap(
+                lambda p, c, r: eval_frame_metrics(
+                    p, c, r, mesh_pts_j, mesh_valid_j)
+            )(frame.poses, batch["cls_ids"], batch["rts"])
+            result["add"] = add
+            result["adds"] = adds
+        return result
+
+    return step
+
+
 def make_icp_step(cfg: Config, mesh_pts: np.ndarray, mesh_valid: np.ndarray):
     """Batched ICP refinement of per-class poses against the predicted-class
     scene points (reference: eval_icp.py).

@@ -70,6 +70,24 @@ def test_ycb_dataset_reads_fake_frame(fake_ycb_root, monkeypatch):
                                atol=1e-4)
 
 
+def test_ycb_dataset_device_preprocess_mode(fake_ycb_root):
+    """Raw eval mode: host ships decoded arrays + GT only; no fill /
+    normals / sampling on the host (data/frame.py::FrameSpec
+    .device_preprocess)."""
+    root, item = fake_ycb_root
+    spec = FrameSpec(device_preprocess=True)
+    ds = YCBDataset(root, split="test", spec=spec, fill_depth=True)
+    s = ds.get_item(item)
+    assert s is not None
+    assert set(s) == {"rgb", "depth", "cam_k", "label_map", "cls_ids",
+                      "rts", "kp_3ds", "ctr_3ds"}
+    assert s["depth"].shape == (480, 640)
+    # depth is metric and UNFILLED (host fill skipped): the fake scene's
+    # background is ~1.0 m.
+    assert 0.5 < np.median(s["depth"][s["depth"] > 0]) < 1.5
+    assert s["cls_ids"][0] == 1 and s["rts"].shape == (12, 3, 4)
+
+
 @pytest.fixture
 def fake_lm_root(tmp_path):
     import yaml

@@ -61,3 +61,30 @@ def test_icp_step_runs_and_preserves_shape():
                   out["poses"])
     assert refined.shape == out["poses"].shape
     assert np.isfinite(np.asarray(refined)).all()
+
+
+def test_raw_inference_step_sensor_to_pose():
+    """Sensor-to-pose path: on-device fill/normals/sampling feeding the
+    same perceive->vote->cluster->fit program."""
+    from pvn3d_tpu.inference.pipeline import make_raw_inference_step
+    cfg, batch, model, variables, mesh_kps, radii, _, _ = _setup()
+    n_cls = cfg.model.n_classes
+    step = make_raw_inference_step(cfg, model, variables, mesh_kps, radii,
+                                   fill_depth=True)
+    rng = np.random.RandomState(0)
+    depth = np.full((2, 64, 64), 1.0, np.float32)
+    depth[:, 20:40, 20:44] = 0.8
+    depth[:, 5:9, 5:9] = 0.0                       # holes to fill
+    rgb = (rng.rand(2, 64, 64, 3) * 255).astype(np.float32)
+    cam_k = np.tile(np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]],
+                             np.float32), (2, 1, 1))
+    out = step({"rgb": jnp.asarray(rgb), "depth": jnp.asarray(depth),
+                "cam_k": jnp.asarray(cam_k)}, jax.random.PRNGKey(0))
+    n = cfg.model.n_sample_points
+    assert out["poses"].shape == (2, n_cls, 3, 4)
+    assert out["seg"].shape == (2, n)
+    assert out["choose"].shape == (2, n)
+    assert np.isfinite(np.asarray(out["poses"])).all()
+    # the filled depth must have no holes left in the top-masked region
+    dm = np.asarray(out["depth_m"])
+    assert (dm[:, 5:9, 5:9] > 0.5).all()
