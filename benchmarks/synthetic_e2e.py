@@ -27,6 +27,25 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--n_points", type=int, default=0)
+    p.add_argument("--fps_groups", type=int, default=1,
+                   help="sharded-FPS group count (accuracy validation of "
+                        "the fast mode: train AND eval run with it)")
+    p.add_argument("--eval_fps_groups", type=int, default=0,
+                   help="override fps_groups for the EVAL pipeline only "
+                        "(deployment scenario: weights trained exact, "
+                        "inference sharded)")
+    p.add_argument("--query_compute", default="",
+                   help="override PointNet2Config.query_compute for EVAL "
+                        "('bf16' validates the halved-cost distance "
+                        "matrices end-to-end)")
+    p.add_argument("--cluster_cap", type=int, default=0,
+                   help="override ClusterConfig.max_points_per_class for "
+                        "eval (0 = config default 512; use e.g. 12288 for "
+                        "the all-points reference behavior)")
+    p.add_argument("--save_ckpt", default="",
+                   help="save trained params to this .npz for reuse")
+    p.add_argument("--load_ckpt", default="",
+                   help="skip training; load params from --save_ckpt output")
     args = p.parse_args(argv)
 
     from pvn3d_tpu.utils.cache import enable_compilation_cache
@@ -49,6 +68,10 @@ def main(argv=None):
     n_points = args.n_points or cfg.model.n_sample_points
     cfg = dataclasses.replace(
         cfg, train=TrainConfig(base_lr=args.lr, max_lr=args.lr))
+    if args.fps_groups > 1:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, pointnet2=dataclasses.replace(
+                cfg.model.pointnet2, fps_groups=args.fps_groups)))
 
     world = SyntheticWorld(n_classes=4,
                            n_keypoints=cfg.model.n_keypoints, seed=0)
@@ -57,22 +80,54 @@ def main(argv=None):
     batch0 = world.sample_batch(rng_np, args.batch, **kw)
 
     state, model, tx = create_train_state(cfg, jax.random.PRNGKey(0), batch0)
-    step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
-    rng = jax.random.PRNGKey(1)
+    if args.load_ckpt:
+        import pickle
+        with open(args.load_ckpt, "rb") as f:
+            tree = pickle.load(f)
+        state = state.replace(params=tree["params"],
+                              batch_stats=tree["batch_stats"])
+        # keep the data stream identical to a trained run: skip the same
+        # number of training batches before eval.
+        for _ in range(args.steps):
+            world.sample_batch(rng_np, args.batch, **kw)
+        print(f"loaded {args.load_ckpt}", flush=True)
+    else:
+        step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
+        rng = jax.random.PRNGKey(1)
 
-    t0 = time.perf_counter()
-    metrics = {}
-    for it in range(args.steps):
-        batch = world.sample_batch(rng_np, args.batch, **kw)
-        state, metrics = step(state, batch, rng)
-        if it % 100 == 0 or it == args.steps - 1:
-            print(f"it={it} loss={float(metrics['loss']):.3f} "
-                  f"acc={float(metrics['acc_rgbd']):.3f} "
-                  f"kp={float(metrics['loss_kp']):.3f}", flush=True)
-    print(f"trained {args.steps} steps in {time.perf_counter()-t0:.1f}s",
-          flush=True)
+        t0 = time.perf_counter()
+        metrics = {}
+        for it in range(args.steps):
+            batch = world.sample_batch(rng_np, args.batch, **kw)
+            state, metrics = step(state, batch, rng)
+            if it % 100 == 0 or it == args.steps - 1:
+                print(f"it={it} loss={float(metrics['loss']):.3f} "
+                      f"acc={float(metrics['acc_rgbd']):.3f} "
+                      f"kp={float(metrics['loss_kp']):.3f}", flush=True)
+        print(f"trained {args.steps} steps in {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    if args.save_ckpt:
+        import pickle
+        tree = {"params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats)}
+        with open(args.save_ckpt, "wb") as f:
+            pickle.dump(tree, f)
+        print(f"saved {args.save_ckpt}", flush=True)
 
     # Inference + metrics with the trained weights.
+    if args.cluster_cap:
+        cfg = dataclasses.replace(cfg, cluster=dataclasses.replace(
+            cfg.cluster, max_points_per_class=args.cluster_cap))
+    pn_over = {}
+    if args.eval_fps_groups:
+        pn_over["fps_groups"] = args.eval_fps_groups
+    if args.query_compute:
+        pn_over["query_compute"] = args.query_compute
+    if pn_over:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, pointnet2=dataclasses.replace(
+                cfg.model.pointnet2, **pn_over)))
+        model = PVN3D(cfg=cfg.model, train=False)
     eval_model = model.clone(train=False)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     # Pad world class tables up to the model's class count (extra classes

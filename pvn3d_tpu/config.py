@@ -100,13 +100,34 @@ class PointNet2Config:
     # Neighbor-selection mode: "auto" (approx_min_k on TPU, exact top_k
     # elsewhere), "exact", or "approx".
     query_mode: str = "auto"
-    # Sharded FPS: split each SA level's cloud into G strided groups and
-    # run G parallel FPS chains of m/G steps (ops/sampling.py).  1 =
-    # reference-exact serial FPS.  G=8 cuts the ~5 ms serial chain (~40%
-    # of single-frame forward latency) ~8x at slight centroid-set
-    # deviation (coverage within a few percent; validated end-to-end in
-    # benchmarks/synthetic_e2e.py).  Must divide every level's npoint.
+    # Sharded FPS: sort by the widest axis, cut into G contiguous
+    # equal-count slabs, run G parallel FPS chains of m/G steps each
+    # (ops/sampling.py::_fps_grouped).  1 = reference-exact serial FPS.
+    # G=4 cuts the ~5 ms serial chain (~40% of single-frame forward
+    # latency) ~4x; covering radius measured ~1.12x exact greedy.
+    # MEASURED accuracy cost on the synthetic e2e world (600-step
+    # training, benchmarks/synthetic_e2e.py): exact ADD-AUC 33.5 /
+    # seg 0.854; trained+evaled with G=4: 24.7 / 0.757; weights trained
+    # exact but evaled G=4: 19.1 / 0.686.  Latency-for-accuracy trade —
+    # OFF by default; enable only where the deployment tolerates it.
+    # Must divide every level's npoint and input size.
     fps_groups: int = 1
+    # Nested-FPS prefix elision: greedy FPS is prefix-consistent — pick
+    # k+1 maximizes min-dist over the whole set, hence over any subset
+    # containing it, so FPS over a previous level's pick-ordered output
+    # (seeded at its index 0, the previous seed) selects exactly rows
+    # [0, npoint).  Levels 1..3 therefore slice instead of running their
+    # serial chains: 3712 -> 2048 dependent steps (~45% of the ~5 ms FPS
+    # stage) with bit-identical selection (modulo float ties; the
+    # mag<=1e-3 skip quirk is per-point and subset-independent, so it
+    # preserves the property).  Exact mode only (fps_groups == 1).
+    fps_prefix: bool = True
+    # Distance-matrix dtype for ball query: "f32" (reference parity) or
+    # "bf16" (halved MXU/HBM cost).  MEASURED on the synthetic e2e world
+    # with exact-trained weights: eval under bf16 collapsed seg 0.854 ->
+    # 0.591 (radius-boundary membership churn at 8-bit mantissa) — keep
+    # f32 on the accuracy path; bf16 only for throughput screening.
+    query_compute: str = "f32"
     sa_levels: Tuple[SALevelConfig, ...] = (
         SALevelConfig(2048, (0.0175, 0.025), (16, 32),
                       ((16, 16, 32), (32, 32, 64))),
@@ -211,6 +232,12 @@ class ClusterConfig:
     max_iter: int = 300
     # Per-class point cap for the K x K clustering problem.  The reference
     # clusters all class points (ragged); we pad/subsample to a fixed K.
+    # Validated on the synthetic e2e world with one trained checkpoint
+    # (benchmarks/synthetic_e2e.py --cluster_cap): ADD-AUC 33.5 @ 512,
+    # 32.1 @ 1024, 32.0 @ 2048 — the ladder converges by 1024 and the
+    # 512 deviation is small and non-directional; 12288 (all-points,
+    # exact reference behavior) OOMs a single chip at batch 4 from the
+    # O(K^2) seed-density stage.
     max_points_per_class: int = 512
     use_ctr: bool = True
     use_ctr_clus_filter: bool = True

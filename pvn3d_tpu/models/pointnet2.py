@@ -35,15 +35,35 @@ class SetAbstractionMSG(nn.Module):
     train: bool = True
     dtype: jnp.dtype = jnp.float32
     query_mode: str = "auto"
+    query_compute: str = "f32"
+    fps_groups: int = 1
+    # Input already slab-partitioned (output of a previous grouped-FPS
+    # level is slab-major) — skips the per-level argsort.
+    fps_slab_sorted: bool = False
+    # Input is the pick-ordered output of a previous EXACT FPS level:
+    # greedy FPS is prefix-consistent (pick k+1 maximizes min-dist over
+    # the full set, hence over any subset containing it — the sampled
+    # set), so this level's FPS result is exactly rows [0, npoint) of the
+    # input.  Skips the m-step serial chain entirely; bit-identical to
+    # running FPS (modulo float-tie ordering).  Verified by
+    # tests/test_ops.py::TestFPSPrefix and the model-level equivalence
+    # test in tests/test_models.py.
+    fps_prefix: bool = False
 
     @nn.compact
     def __call__(self, xyz, features, bn_momentum=0.1):
         # FPS runs on f32 coordinates; indices are reused for every scale,
         # and the scales share one distance matrix (ball_query_multi).
-        idx = furthest_point_sample(xyz, self.level.npoint)
-        new_xyz = gather_points(xyz, idx)
+        if self.fps_prefix:
+            new_xyz = xyz[:, :self.level.npoint]
+        else:
+            idx = furthest_point_sample(xyz, self.level.npoint,
+                                        groups=self.fps_groups,
+                                        slab_sorted=self.fps_slab_sorted)
+            new_xyz = gather_points(xyz, idx)
         scale_idx = ball_query_multi(self.level.radii, self.level.nsamples,
-                                     xyz, new_xyz, mode=self.query_mode)
+                                     xyz, new_xyz, mode=self.query_mode,
+                                     compute_dtype=self.query_compute)
         outs = []
         for i, (g_idx, widths) in enumerate(zip(scale_idx, self.level.mlps)):
             grouped_xyz = group_points(xyz, g_idx) - new_xyz[:, :, None, :]
@@ -101,6 +121,11 @@ class PointNet2MSG(nn.Module):
             nxyz, nfeat = SetAbstractionMSG(
                 level=level, use_xyz=self.cfg.use_xyz, train=self.train,
                 dtype=self.dtype, query_mode=self.cfg.query_mode,
+                query_compute=self.cfg.query_compute,
+                fps_groups=self.cfg.fps_groups,
+                fps_slab_sorted=self.cfg.fps_groups > 1 and li > 0,
+                fps_prefix=(self.cfg.fps_prefix
+                            and self.cfg.fps_groups == 1 and li > 0),
                 name=f"sa{li}")(
                     l_xyz[li], l_feats[li], bn_momentum)
             l_xyz.append(nxyz)

@@ -36,10 +36,12 @@ import jax.numpy as jnp
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "nsample", "mode", "chunk_m", "recall"))
+    static_argnames=("radius", "nsample", "mode", "chunk_m", "recall",
+                     "compute_dtype"))
 def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
                new_xyz: jnp.ndarray, mode: str = "auto",
-               chunk_m: int = 512, recall: float = 0.99) -> jnp.ndarray:
+               chunk_m: int = 512, recall: float = 0.99,
+               compute_dtype: str = "f32") -> jnp.ndarray:
     """For each centroid, indices of the first ``nsample`` points within
     ``radius`` (in point order), padded with the first hit.
 
@@ -49,6 +51,11 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
       xyz: (B, N, 3) support points.
       new_xyz: (B, m, 3) query centroids.
       mode: "approx" | "exact" | "auto" (approx on TPU).
+      compute_dtype: "f32" or "bf16" for the distance matrix.  bf16
+        halves the MXU/HBM cost of the (m, N) d^2 computation; the
+        selection scores stay f32 (iota up to N must stay exact).
+        Coordinate rounding moves the radius boundary by ~0.4% —
+        validate per-dataset before using on the accuracy path.
 
     Returns:
       (B, m, nsample) int32 indices; centroids with no hit get index 0
@@ -58,16 +65,19 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
         mode = "approx" if jax.default_backend() == "tpu" else "exact"
     return jax.vmap(
         lambda x, c: _ball_query_single(x, c, radius, nsample, mode,
-                                        chunk_m, recall)
+                                        chunk_m, recall, compute_dtype)
     )(xyz, new_xyz)
 
 
 def _ball_query_single(xyz, centroids, radius, nsample, mode, chunk_m,
-                       recall):
+                       recall, compute_dtype="f32"):
+    if compute_dtype == "bf16":
+        xyz = xyz.astype(jnp.bfloat16)
+        centroids = centroids.astype(jnp.bfloat16)
     n = xyz.shape[0]
     m = centroids.shape[0]
     r2 = jnp.float32(radius * radius)
-    x_sq = jnp.sum(xyz * xyz, axis=-1)                     # (N,)
+    x_sq = jnp.sum(xyz.astype(jnp.float32) ** 2, axis=-1)  # (N,)
 
     n_chunks = max(1, -(-m // chunk_m))
     pad = n_chunks * chunk_m - m
@@ -75,7 +85,7 @@ def _ball_query_single(xyz, centroids, radius, nsample, mode, chunk_m,
     cen = cen.reshape(n_chunks, chunk_m, 3)
 
     def per_chunk(c):
-        c_sq = jnp.sum(c * c, axis=-1)                     # (chunk_m,)
+        c_sq = jnp.sum(c.astype(jnp.float32) ** 2, axis=-1)   # (chunk_m,)
         cross = jnp.dot(c, xyz.T, preferred_element_type=jnp.float32)
         d2 = c_sq[:, None] - 2.0 * cross + x_sq[None, :]   # (chunk_m, N)
         hit = d2 < r2
@@ -94,11 +104,15 @@ def _ball_query_single(xyz, centroids, radius, nsample, mode, chunk_m,
                                        (idx.shape[0], nsample - k))], axis=1)
         count = jnp.sum(hit, axis=-1).astype(jnp.int32)    # (chunk_m,)
         # Pad trailing slots with the first hit; no-hit centroids get 0
-        # (ball_query_gpu.cu:35-39 + zero-initialized output).
-        first = jnp.where(count > 0, idx[:, 0], 0)
+        # (ball_query_gpu.cu:35-39 + zero-initialized output).  ``found``
+        # masks approx_min_k filler slots (score n == no in-radius point
+        # selected): a centroid with <= k hits where approx missed one
+        # must repeat the first hit, never admit a far point.
+        found = idx < n
+        first = jnp.where(count > 0, jnp.where(found[:, 0], idx[:, 0], 0), 0)
         slots = jnp.arange(nsample)[None, :]
-        return jnp.where(slots < count[:, None],
-                         jnp.minimum(idx, n - 1), first[:, None])
+        return jnp.where((slots < count[:, None]) & found,
+                         idx, first[:, None])
 
     out = jax.lax.map(per_chunk, cen).reshape(n_chunks * chunk_m, nsample)
     return out[:m]
@@ -106,7 +120,8 @@ def _ball_query_single(xyz, centroids, radius, nsample, mode, chunk_m,
 
 def ball_query_multi(radii, nsamples, xyz: jnp.ndarray,
                      new_xyz: jnp.ndarray, mode: str = "auto",
-                     chunk_m: int = 512, recall: float = 0.99):
+                     chunk_m: int = 512, recall: float = 0.99,
+                     compute_dtype: str = "f32"):
     """Ball query for several (radius, nsample) scales sharing one distance
     matrix — the MSG grouping pattern (two scales per SA level,
     pvn3d/lib/pvn3d.py:67-112) computes d^2 once instead of per scale.
@@ -119,16 +134,19 @@ def ball_query_multi(radii, nsamples, xyz: jnp.ndarray,
     nsamples = tuple(nsamples)
 
     def single(x, c):
+        if compute_dtype == "bf16":
+            x = x.astype(jnp.bfloat16)
+            c = c.astype(jnp.bfloat16)
         n = x.shape[0]
         m = c.shape[0]
-        x_sq = jnp.sum(x * x, axis=-1)
+        x_sq = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)
         n_chunks = max(1, -(-m // chunk_m))
         pad = n_chunks * chunk_m - m
         cen = jnp.pad(c, ((0, pad), (0, 0))) if pad else c
         cen = cen.reshape(n_chunks, chunk_m, 3)
 
         def per_chunk(cc):
-            c_sq = jnp.sum(cc * cc, axis=-1)
+            c_sq = jnp.sum(cc.astype(jnp.float32) ** 2, axis=-1)
             cross = jnp.dot(cc, x.T, preferred_element_type=jnp.float32)
             d2 = c_sq[:, None] - 2.0 * cross + x_sq[None, :]
             iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
@@ -150,11 +168,12 @@ def ball_query_multi(radii, nsamples, xyz: jnp.ndarray,
                             idx[:, :1], (idx.shape[0], nsample - k))],
                         axis=1)
                 count = jnp.sum(hit, axis=-1).astype(jnp.int32)
-                first = jnp.where(count > 0, idx[:, 0], 0)
+                found = idx < n       # mask approx filler (see ball_query)
+                first = jnp.where(
+                    count > 0, jnp.where(found[:, 0], idx[:, 0], 0), 0)
                 slots = jnp.arange(nsample)[None, :]
-                outs.append(jnp.where(slots < count[:, None],
-                                      jnp.minimum(idx, n - 1),
-                                      first[:, None]))
+                outs.append(jnp.where((slots < count[:, None]) & found,
+                                      idx, first[:, None]))
             return tuple(outs)
 
         outs = jax.lax.map(per_chunk, cen)

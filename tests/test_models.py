@@ -195,3 +195,23 @@ class TestPVN3D:
         # at least one nonzero grad in each branch
         norms = [float(jnp.abs(g).max()) for g in flat]
         assert max(norms) > 0
+
+
+class TestFPSPrefixModel:
+    def test_pointnet2_prefix_equals_per_level_fps(self):
+        """fps_prefix slices SA levels > 0 instead of re-running FPS;
+        greedy-FPS prefix consistency makes the trunk output bit-identical
+        (ops-level property: tests/test_ops.py::TestFPSPrefix)."""
+        from pvn3d_tpu.models.pointnet2 import PointNet2MSG
+        import dataclasses
+        cfg = small_config().pointnet2
+        rng = np.random.RandomState(0)
+        pc = jnp.asarray(rng.uniform(-1, 1, (2, 128, 6)).astype(np.float32))
+        outs = {}
+        for prefix in (False, True):
+            c = dataclasses.replace(cfg, fps_prefix=prefix,
+                                    query_mode="exact")
+            m = PointNet2MSG(cfg=c, train=False)
+            vars_ = m.init(jax.random.PRNGKey(0), pc)
+            outs[prefix] = np.asarray(m.apply(vars_, pc))
+        np.testing.assert_array_equal(outs[False], outs[True])
