@@ -12,9 +12,12 @@ Methodology: T pipeline iterations inside one jitted ``lax.scan`` with an
 iteration-dependent input perturbation, synced once — per-dispatch tunnel
 latency and same-input caching cannot distort the number.
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md); the
-commonly reported PVN3D end-to-end rate on its 2019-era GPU is ~5 fps
-(~200 ms/frame).  vs_baseline = fps / 5.0.
+Baseline: the reference publishes no throughput numbers (BASELINE.md).
+``benchmarks/a100_baseline.py`` derives a transparent A100 estimate of the
+reference's own eval pipeline (cost model cited line-by-line to reference
+code; deliberately favorable to the reference).  vs_baseline = our fps /
+the *central* A100 estimate — BASELINE.json's target is met at
+vs_baseline >= 2.
 """
 from __future__ import annotations
 
@@ -33,7 +36,8 @@ from pvn3d_tpu.inference.pipeline import make_pose_fn
 from pvn3d_tpu.models.pvn3d import PVN3D
 from pvn3d_tpu.utils.assets import stacked_class_radii, stacked_mesh_kps
 
-BASELINE_FPS = 5.0
+from benchmarks.a100_baseline import estimate as a100_estimate
+
 T = 10
 
 
@@ -67,11 +71,15 @@ def main():
     dt = (time.perf_counter() - t0) / T
     fps = 1.0 / dt
 
+    a100 = a100_estimate()
     print(json.dumps({
         "metric": "e2e_inference_fps_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps / a100["central"], 3),
+        "baseline": {"a100_reference_fps_estimate": a100,
+                     "source": "benchmarks/a100_baseline.py cost model",
+                     "target": "vs_baseline >= 2 (BASELINE.json)"},
     }))
 
 
