@@ -10,7 +10,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Methodology: T pipeline iterations inside one jitted ``lax.scan`` with an
 iteration-dependent input perturbation, synced once — per-dispatch tunnel
-latency and same-input caching cannot distort the number.
+latency and same-input caching cannot distort the number.  T = 50: the
+measured fixed dispatch cost through the tunnel is ~27 ms/call, so T = 10
+would inflate every frame by ~2.7 ms (~16% at 17 ms/frame).
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).
 ``benchmarks/a100_baseline.py`` derives a transparent A100 estimate of the
@@ -38,7 +40,7 @@ from pvn3d_tpu.utils.assets import stacked_class_radii, stacked_mesh_kps
 
 from benchmarks.a100_baseline import estimate as a100_estimate
 
-T = 10
+T = 50
 
 
 def main():
