@@ -38,6 +38,9 @@ def main(argv=None):
                    help="override PointNet2Config.query_compute for EVAL "
                         "('bf16' validates the halved-cost distance "
                         "matrices end-to-end)")
+    p.add_argument("--query_recall", type=float, default=0.0,
+                   help="override PointNet2Config.query_recall for EVAL "
+                        "(approx_min_k recall_target; 0 = config default)")
     p.add_argument("--cluster_cap", type=int, default=0,
                    help="override ClusterConfig.max_points_per_class for "
                         "eval (0 = config default 512; use e.g. 12288 for "
@@ -123,6 +126,8 @@ def main(argv=None):
         pn_over["fps_groups"] = args.eval_fps_groups
     if args.query_compute:
         pn_over["query_compute"] = args.query_compute
+    if args.query_recall:
+        pn_over["query_recall"] = args.query_recall
     if pn_over:
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, pointnet2=dataclasses.replace(

@@ -122,6 +122,17 @@ class PointNet2Config:
     # mag<=1e-3 skip quirk is per-point and subset-independent, so it
     # preserves the property).  Exact mode only (fps_groups == 1).
     fps_prefix: bool = True
+    # approx_min_k recall_target for approx-mode ball query.  The cost is
+    # almost entirely the exact-aggregation phase over the reduction
+    # buffer, whose width is recall-driven: at L0 (N=12288, k=32) 0.99
+    # keeps 6144 candidates (2.2 ms) while 0.95 keeps 768 (0.43 ms, 5x)
+    # and 0.98 keeps 1536.  MEASURED neighbor-set recall on the bench's
+    # synthetic depth clouds: 0.9956/0.9945 (scales 1/2) at target 0.95
+    # vs 0.9984/0.9994 at 0.99.  BUT e2e accuracy is sharply sensitive:
+    # evaluating 0.99-trained weights at 0.95 dropped ADD-AUC 33.1 ->
+    # 28.1 / seg 0.854 -> 0.829 on the synthetic e2e world — keep 0.99
+    # unless weights were trained at the lower recall (see CLAUDE.md).
+    query_recall: float = 0.99
     # Distance-matrix dtype for ball query: "f32" (reference parity) or
     # "bf16" (halved MXU/HBM cost).  MEASURED on the synthetic e2e world
     # with exact-trained weights: eval under bf16 collapsed seg 0.854 ->

@@ -45,18 +45,26 @@ def _select_class_points(mask: jnp.ndarray, n_cls: int, k: int):
     count (n_cls-1,) int32.
     """
     n = mask.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
 
     def per_class(c):
         is_c = mask == c
-        count = jnp.sum(is_c).astype(jnp.int32)
-        order = jnp.argsort(jnp.where(is_c, idx, idx + n)).astype(jnp.int32)
+        # Sort-free rank lookup: the inclusive cumulative count is
+        # nondecreasing and jumps by one exactly at class points, so the
+        # index of the p-th class point is the first i with cum[i] == p+1
+        # — a searchsorted, replacing a full argsort over N per class
+        # (2 x (n_cls-1) argsorts of 12288 per frame were ~the cost of a
+        # MeanShift round).  Invalid slots (p >= count) resolve to n-1
+        # instead of the argsort's arbitrary non-class indices; every
+        # consumer masks them via ``valid``.
+        cum = jnp.cumsum(is_c.astype(jnp.int32))
+        count = cum[-1]
         ar = jnp.arange(k, dtype=jnp.int32)
         strided = jnp.floor(
             ar.astype(jnp.float32) * count.astype(jnp.float32) / k
         ).astype(jnp.int32)
         pos = jnp.where(count > k, strided, ar)
-        sel = order[jnp.clip(pos, 0, n - 1)]
+        sel = jnp.searchsorted(cum, pos + 1, side="left").astype(jnp.int32)
+        sel = jnp.minimum(sel, n - 1)
         valid = ar < jnp.minimum(count, k)
         return sel, valid, count
 

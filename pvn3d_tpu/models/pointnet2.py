@@ -36,6 +36,7 @@ class SetAbstractionMSG(nn.Module):
     dtype: jnp.dtype = jnp.float32
     query_mode: str = "auto"
     query_compute: str = "f32"
+    query_recall: float = 0.95
     fps_groups: int = 1
     # Input already slab-partitioned (output of a previous grouped-FPS
     # level is slab-major) — skips the per-level argsort.
@@ -63,6 +64,7 @@ class SetAbstractionMSG(nn.Module):
             new_xyz = gather_points(xyz, idx)
         scale_idx = ball_query_multi(self.level.radii, self.level.nsamples,
                                      xyz, new_xyz, mode=self.query_mode,
+                                     recall=self.query_recall,
                                      compute_dtype=self.query_compute)
         outs = []
         for i, (g_idx, widths) in enumerate(zip(scale_idx, self.level.mlps)):
@@ -122,6 +124,7 @@ class PointNet2MSG(nn.Module):
                 level=level, use_xyz=self.cfg.use_xyz, train=self.train,
                 dtype=self.dtype, query_mode=self.cfg.query_mode,
                 query_compute=self.cfg.query_compute,
+                query_recall=self.cfg.query_recall,
                 fps_groups=self.cfg.fps_groups,
                 fps_slab_sorted=self.cfg.fps_groups > 1 and li > 0,
                 fps_prefix=(self.cfg.fps_prefix

@@ -153,3 +153,27 @@ def test_meanshift_winner_matches_dense_mode():
     np.testing.assert_array_equal(np.asarray(lw), np.asarray(ld))
     assert int(nw[0]) == int(nd[0])
     np.testing.assert_allclose(np.asarray(cw), np.asarray(cd), atol=5e-4)
+
+
+def test_select_class_points_rank_oracle():
+    """Sort-free selection == the p-th class point in index order, with the
+    even-stride positions pos_j = floor(j*count/k) when count > k."""
+    from pvn3d_tpu.inference.pose import _select_class_points
+    rng = np.random.RandomState(3)
+    n, n_cls, k = 600, 5, 32
+    mask = rng.randint(0, n_cls, n).astype(np.int32)
+    mask[mask == 3] = 0                      # absent class
+    mask[:200][mask[:200] == 4] = 2          # one class > k points
+    sel, valid, count = map(np.asarray,
+                            _select_class_points(jnp.asarray(mask), n_cls, k))
+    for ci, c in enumerate(range(1, n_cls)):
+        where = np.where(mask == c)[0]
+        cnt = len(where)
+        assert count[ci] == cnt
+        m = min(cnt, k)
+        assert valid[ci, :m].all() and not valid[ci, m:].any()
+        if cnt > k:
+            pos = (np.arange(k) * cnt) // k
+            np.testing.assert_array_equal(sel[ci], where[pos])
+        else:
+            np.testing.assert_array_equal(sel[ci, :m], where)
