@@ -33,6 +33,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no_fill_depth", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize forward in backward (large per-chip batch)")
+    p.add_argument("--remat_policy", default="", choices=("", "full", "dots"),
+                   help="with --remat: 'full' saves nothing, 'dots' keeps "
+                        "MXU outputs and recomputes only elementwise glue")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
     p.add_argument("--log_every", type=int, default=50)
@@ -101,6 +104,8 @@ def main(argv=None):
     overrides = {}
     if args.remat:
         overrides["remat"] = True
+    if args.remat_policy:
+        overrides["remat_policy"] = args.remat_policy
     if args.base_lr > 0:
         overrides["base_lr"] = args.base_lr
     if args.max_lr > 0:

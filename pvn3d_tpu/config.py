@@ -133,6 +133,13 @@ class PointNet2Config:
     # 28.1 / seg 0.854 -> 0.829 on the synthetic e2e world — keep 0.99
     # unless weights were trained at the lower recall (see CLAUDE.md).
     query_recall: float = 0.99
+    # Per-residue-class candidate capacity for the pallas query kernel
+    # (ops/pallas/query.py): exact first-k whenever no residue class
+    # (index % 128) holds more than this many of the first k hits.
+    # Measured on the realistic plane+blobs scanline cloud (L0 shapes):
+    # capacity 2 -> neighbor-set recall 0.9986/0.9998 (scales 1/2),
+    # >= the approx path at recall_target 0.99; capacity 3 -> 0.9987/1.0.
+    query_capacity: int = 2
     # Distance-matrix dtype for ball query: "f32" (reference parity) or
     # "bf16" (halved MXU/HBM cost).  MEASURED on the synthetic e2e world
     # with exact-trained weights: eval under bf16 collapsed seg 0.854 ->
@@ -222,6 +229,14 @@ class TrainConfig:
     # large per-chip batches (bs 24 on a single 16 GB chip spills HBM and
     # collapses to host-offload speeds without it).
     remat: bool = False
+    # What the checkpointed forward is allowed to keep (jax.checkpoint
+    # ``policy``).  "full" saves nothing (max recompute, min memory);
+    # "dots" saves matmul/conv outputs and recomputes only the cheap
+    # elementwise/BN/resize glue — for this conv-heavy model the backward
+    # then re-runs almost no MXU work, trading a little memory back for
+    # most of the recompute tax.  Values never change — remat is purely a
+    # memory/compute schedule — so the choice is measured, not tested.
+    remat_policy: str = "full"
 
 
 # ---------------------------------------------------------------------------

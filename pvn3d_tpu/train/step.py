@@ -38,6 +38,23 @@ def compute_losses(cfg: Config, outputs: Dict[str, jnp.ndarray],
     }
 
 
+def _remat_policy(name: str):
+    """jax.checkpoint policy from its config name (TrainConfig.remat_policy).
+
+    "full" saves nothing.  "dots" saves every MXU-op output (dot_general
+    AND conv_general_dilated — the builtin ``dots_saveable`` covers only
+    dot_general, which would re-run the whole conv trunk in backward), so
+    the rematerialized forward redoes only cheap VPU glue.
+    """
+    if name == "full":
+        return None
+    if name == "dots":
+        def saveable(prim, *_, **__):
+            return prim.name in ("dot_general", "conv_general_dilated")
+        return saveable
+    raise ValueError(f"unknown remat_policy {name!r} (full|dots)")
+
+
 def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
                     ) -> Callable[[TrainState, Dict[str, Any], jax.Array],
                                   tuple[TrainState, Dict[str, jnp.ndarray]]]:
@@ -52,7 +69,8 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
                 rngs={"dropout": dr})
 
         if cfg.train.remat:
-            forward = jax.checkpoint(forward)
+            forward = jax.checkpoint(
+                forward, policy=_remat_policy(cfg.train.remat_policy))
 
         def loss_fn(params):
             outputs, mutated = forward(
