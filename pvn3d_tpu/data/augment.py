@@ -28,6 +28,10 @@ def color_jitter(rng: np.random.RandomState, img: np.ndarray,
                  saturation: float = 0.2, hue: float = 0.05) -> np.ndarray:
     """torchvision ColorJitter semantics: random order of the four ops,
     factors uniform in [max(0, 1-x), 1+x] (hue in [-hue, hue])."""
+    # Luma weights of cv2.COLOR_RGB2GRAY; computing the gray directly on
+    # the clipped float image skips two uint8/cvtColor round-trips per op
+    # (same ITU-R 601 definition, sub-quantization differences only).
+    luma = np.array([0.299, 0.587, 0.114], np.float32)
     img = img.astype(np.float32)
     ops = list(range(4))
     rng.shuffle(ops)
@@ -36,14 +40,11 @@ def color_jitter(rng: np.random.RandomState, img: np.ndarray,
             img = img * _rand_range(rng, 1 - brightness, 1 + brightness)
         elif op == 1 and contrast:
             f = _rand_range(rng, 1 - contrast, 1 + contrast)
-            gray = cv2.cvtColor(
-                np.clip(img, 0, 255).astype(np.uint8),
-                cv2.COLOR_RGB2GRAY).mean()
+            gray = np.clip(img, 0, 255).mean(axis=(0, 1)) @ luma
             img = (img - gray) * f + gray
         elif op == 2 and saturation:
             f = _rand_range(rng, 1 - saturation, 1 + saturation)
-            gray = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
-                                cv2.COLOR_RGB2GRAY).astype(np.float32)
+            gray = np.clip(img, 0, 255) @ luma
             img = (img - gray[..., None]) * f + gray[..., None]
         elif op == 3 and hue:
             h = _rand_range(rng, -hue, hue)
@@ -76,8 +77,18 @@ def linear_motion_blur(img: np.ndarray, angle_deg: float,
     return cv2.filter2D(img, -1, kern)
 
 
+def _standard_normal_f32(rng: np.random.RandomState, shape) -> np.ndarray:
+    """N(0,1) samples in float32 via a Generator seeded from ``rng``.
+
+    RandomState.randn only emits float64 (2-3x the cost at image size);
+    the bit-stream differs but the distribution and the determinism
+    contract (same rng state -> same output) are preserved."""
+    gen = np.random.Generator(np.random.PCG64(rng.randint(1 << 31)))
+    return gen.standard_normal(shape, dtype=np.float32)
+
+
 def gaussian_noise(rng, img: np.ndarray, sigma: float) -> np.ndarray:
-    out = img.astype(np.float64) + rng.randn(*img.shape) * sigma
+    out = img.astype(np.float32) + _standard_normal_f32(rng, img.shape) * sigma
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
@@ -113,7 +124,10 @@ def rgb_add_noise_ycb(rng: np.random.RandomState,
     img = gaussian_noise(rng, img, sigma)
 
     if rng.rand() > 0.8:
-        img = img + np.random.normal(0.0, 7.0, img.shape)
+        # (the reference uses the unseeded global np.random here,
+        # ycb_dataset.py:143 — drawn from the worker rng instead so
+        # frames stay reproducible)
+        img = img + _standard_normal_f32(rng, img.shape) * 7.0
     return np.clip(img, 0, 255).astype(np.uint8)
 
 

@@ -144,14 +144,26 @@ def fill_in_fast(depth: np.ndarray, max_depth: float = 3.0,
 
 def fill_missing(depth: np.ndarray, cam_scale: float = 1.0,
                  scale_to_m: float = 1.0, max_depth: float = 3.0,
-                 fill_type: str = "multiscale", **kw) -> np.ndarray:
+                 fill_type: str = "multiscale", impl: str = "auto",
+                 **kw) -> np.ndarray:
     """fill_missing semantics (basic_utils.py:436-456): rescale to meters,
-    fill ('multiscale' or 'fast'), rescale back."""
+    fill ('multiscale' or 'fast'), rescale back.
+
+    ``impl``: "auto" prefers the native C++ pipeline
+    (native/preprocess.cpp, ~10x this module per frame — oracle-tested
+    against it in tests/test_native_preprocess.py) and falls back here;
+    "numpy" forces this module.
+    """
     d = depth / cam_scale * scale_to_m
     if fill_type == "fast":
         filled = fill_in_fast(d, max_depth=max_depth, **kw)
     elif fill_type == "multiscale":
-        filled = fill_in_multiscale(d, max_depth=max_depth, **kw)
+        filled = None
+        if impl == "auto":
+            from pvn3d_tpu.native.preprocess import fill_in_multiscale_native
+            filled = fill_in_multiscale_native(d, max_depth=max_depth, **kw)
+        if filled is None:
+            filled = fill_in_multiscale(d, max_depth=max_depth, **kw)
     else:
         raise ValueError(f"unknown fill_type {fill_type!r}")
     return filled / scale_to_m * cam_scale

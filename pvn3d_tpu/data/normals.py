@@ -66,14 +66,26 @@ def _box_blur(x: np.ndarray, r: int) -> np.ndarray:
 
 def normals_from_depth_map(depth: np.ndarray, k: np.ndarray,
                            cam_scale: float = 1.0, smooth: int = 2,
-                           depth_jump: float = 0.05) -> np.ndarray:
+                           depth_jump: float = 0.05,
+                           impl: str = "auto") -> np.ndarray:
     """(H, W, 3) normals from an organized depth map.
 
     Central differences of the smoothed 3-D map give the surface tangents;
     their cross product gives the normal, oriented toward the camera.
     Differences across depth discontinuities (> ``depth_jump`` m) and
     invalid pixels are suppressed.
+
+    ``impl``: "auto" prefers the native C++ twin (native/preprocess.cpp,
+    ~25x this function; oracle-tested against it) with fallback here;
+    "numpy" forces this implementation.
     """
+    if impl == "auto":
+        from pvn3d_tpu.native.preprocess import normals_from_depth_map_native
+        native = normals_from_depth_map_native(
+            depth if depth.ndim == 2 else depth.reshape(depth.shape[:2]),
+            np.asarray(k, np.float32), cam_scale, smooth, depth_jump)
+        if native is not None:
+            return native
     h, w = depth.shape[:2]
     z = np.float32(depth).reshape(h, w) / cam_scale
     valid = z > 1e-6
