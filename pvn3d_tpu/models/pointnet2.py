@@ -37,6 +37,7 @@ class SetAbstractionMSG(nn.Module):
     query_mode: str = "auto"
     query_compute: str = "f32"
     query_recall: float = 0.95
+    query_capacity: int = 2
     fps_groups: int = 1
     # Input already slab-partitioned (output of a previous grouped-FPS
     # level is slab-major) — skips the per-level argsort.
@@ -65,7 +66,8 @@ class SetAbstractionMSG(nn.Module):
         scale_idx = ball_query_multi(self.level.radii, self.level.nsamples,
                                      xyz, new_xyz, mode=self.query_mode,
                                      recall=self.query_recall,
-                                     compute_dtype=self.query_compute)
+                                     compute_dtype=self.query_compute,
+                                     capacity=self.query_capacity)
         outs = []
         for i, (g_idx, widths) in enumerate(zip(scale_idx, self.level.mlps)):
             grouped_xyz = group_points(xyz, g_idx) - new_xyz[:, :, None, :]
@@ -125,6 +127,7 @@ class PointNet2MSG(nn.Module):
                 dtype=self.dtype, query_mode=self.cfg.query_mode,
                 query_compute=self.cfg.query_compute,
                 query_recall=self.cfg.query_recall,
+                query_capacity=self.cfg.query_capacity,
                 fps_groups=self.cfg.fps_groups,
                 fps_slab_sorted=self.cfg.fps_groups > 1 and li > 0,
                 fps_prefix=(self.cfg.fps_prefix

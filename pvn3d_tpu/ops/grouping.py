@@ -8,8 +8,15 @@ gradients (group_points_gpu.cu:6-75).
 
 TPU formulation: "first nsample within radius" == the nsample *smallest
 masked indices* — a selection problem, not a scatter problem.  Scores are
-``index if hit else N``; selection runs as either
+``index if hit else N``; selection runs as one of
 
+  * ``pallas`` — the fused VMEM-resident kernel
+    (``ops.pallas.query.ball_query_pallas``): one d^2 tile on-chip shared
+    by every scale, residue-class candidate extraction, no (m, N) HBM
+    round-trips.  Recall meets or beats ``approx`` at 0.99 (see the
+    kernel docstring for the exactness condition).  Opt-in until its
+    on-chip timing is recorded (benchmarks/query_bench.py); flip
+    ``auto`` below once measured faster.
   * ``approx`` — ``lax.approx_min_k``, the TPU-optimized two-stage
     reduction (hardware bucketing + exact top-k over candidates).  33x the
     scatter/scan formulation this replaced; on depth-camera clouds the hit
@@ -37,11 +44,11 @@ import jax.numpy as jnp
 @functools.partial(
     jax.jit,
     static_argnames=("radius", "nsample", "mode", "chunk_m", "recall",
-                     "compute_dtype"))
+                     "compute_dtype", "capacity"))
 def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
                new_xyz: jnp.ndarray, mode: str = "auto",
                chunk_m: int = 512, recall: float = 0.99,
-               compute_dtype: str = "f32") -> jnp.ndarray:
+               compute_dtype: str = "f32", capacity: int = 2) -> jnp.ndarray:
     """For each centroid, indices of the first ``nsample`` points within
     ``radius`` (in point order), padded with the first hit.
 
@@ -63,6 +70,11 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
     """
     if mode == "auto":
         mode = "approx" if jax.default_backend() == "tpu" else "exact"
+    if mode == "pallas":
+        from pvn3d_tpu.ops.pallas.query import ball_query_pallas
+        return ball_query_pallas(
+            (radius,), (nsample,), xyz, new_xyz, capacity=capacity,
+            interpret=jax.default_backend() != "tpu")[0]
     return jax.vmap(
         lambda x, c: _ball_query_single(x, c, radius, nsample, mode,
                                         chunk_m, recall, compute_dtype)
@@ -124,7 +136,7 @@ def _ball_query_single(xyz, centroids, radius, nsample, mode, chunk_m,
 def ball_query_multi(radii, nsamples, xyz: jnp.ndarray,
                      new_xyz: jnp.ndarray, mode: str = "auto",
                      chunk_m: int = 512, recall: float = 0.99,
-                     compute_dtype: str = "f32"):
+                     compute_dtype: str = "f32", capacity: int = 2):
     """Ball query for several (radius, nsample) scales sharing one distance
     matrix — the MSG grouping pattern (two scales per SA level,
     pvn3d/lib/pvn3d.py:67-112) computes d^2 once instead of per scale.
@@ -135,6 +147,11 @@ def ball_query_multi(radii, nsamples, xyz: jnp.ndarray,
         mode = "approx" if jax.default_backend() == "tpu" else "exact"
     radii = tuple(radii)
     nsamples = tuple(nsamples)
+    if mode == "pallas":
+        from pvn3d_tpu.ops.pallas.query import ball_query_pallas
+        return ball_query_pallas(radii, nsamples, xyz, new_xyz,
+                                 capacity=capacity,
+                                 interpret=jax.default_backend() != "tpu")
 
     def single(x, c):
         if compute_dtype == "bf16":

@@ -4,7 +4,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from pvn3d_tpu.ops.grouping import ball_query_multi
 from pvn3d_tpu.ops.pallas.fps import fps_pallas
+from pvn3d_tpu.ops.pallas.query import ball_query_pallas
 from pvn3d_tpu.ops.sampling import _fps_xla
 
 
@@ -31,3 +33,66 @@ def test_fps_pallas_first_index_zero():
     xyz = jax.random.normal(jax.random.PRNGKey(2), (4, 128, 3))
     idx = np.asarray(fps_pallas(xyz, 16, interpret=True))
     assert (idx[:, 0] == 0).all()
+
+
+class TestBallQueryPallas:
+    """Fused multi-scale ball query (ops/pallas/query.py): residue-class
+    candidate extraction.  Exact when N <= 128 * capacity (every point is
+    a candidate); on larger clouds every selected index must be in-radius
+    (or the first-hit filler) and the neighbor-set recall must beat the
+    approx path's 0.99 contract."""
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_small_n_exact(self, seed):
+        rng = np.random.RandomState(seed)
+        xyz = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32) * 0.2)
+        cen = xyz[:, ::2]
+        radii, ns = (0.15, 0.25), (8, 16)
+        exact = ball_query_multi(radii, ns, xyz, cen, mode="exact")
+        pal = ball_query_pallas(radii, ns, xyz, cen, capacity=2,
+                                interpret=True)
+        for e, p in zip(exact, pal):
+            np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+    def test_in_radius_and_recall(self):
+        # Random Gaussian cloud: the adversarial case for residue-class
+        # collisions (clustered scanline runs are friendlier).
+        rng = np.random.RandomState(0)
+        n, m = 1536, 300            # m not a multiple of the 128-row tile
+        xyz = rng.randn(1, n, 3).astype(np.float32) * 0.3
+        cen = xyz[:, :m] + rng.randn(1, m, 3).astype(np.float32) * 0.01
+        radius, ns = 0.2, 32
+        exact = ball_query_multi((radius,), (ns,), jnp.asarray(xyz),
+                                 jnp.asarray(cen), mode="exact")[0]
+        pal = ball_query_pallas((radius,), (ns,), jnp.asarray(xyz),
+                                jnp.asarray(cen), capacity=2,
+                                interpret=True)[0]
+        e, p = np.asarray(exact), np.asarray(pal)
+        d2 = np.sum((xyz[0][p[0]] - cen[0][:, None]) ** 2, -1)
+        first = p[0, :, :1]
+        in_radius = d2 < radius * radius
+        assert np.all(in_radius | (p[0] == first)), \
+            "filler slots may only repeat the first hit"
+        recall = np.mean([
+            len(set(p[0, i]) & set(e[0, i])) / len(set(e[0, i]))
+            for i in range(m)])
+        assert recall >= 0.99, recall
+
+    def test_no_hit_gets_zero(self):
+        xyz = jnp.asarray(np.random.RandomState(0)
+                          .randn(1, 384, 3).astype(np.float32))
+        far = jnp.full((1, 8, 3), 50.0, jnp.float32)
+        out = ball_query_pallas((0.1,), (8,), xyz, far, interpret=True)[0]
+        assert (np.asarray(out) == 0).all()
+
+    def test_matches_grouping_mode_pallas(self):
+        # grouping.ball_query_multi(mode="pallas") routes to the kernel
+        # (interpret mode off-TPU) and must agree with the direct call.
+        rng = np.random.RandomState(3)
+        xyz = jnp.asarray(rng.randn(2, 512, 3).astype(np.float32) * 0.2)
+        cen = xyz[:, ::4]
+        radii, ns = (0.1, 0.2), (8, 16)
+        via_mode = ball_query_multi(radii, ns, xyz, cen, mode="pallas")
+        direct = ball_query_pallas(radii, ns, xyz, cen, interpret=True)
+        for a, b in zip(via_mode, direct):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
