@@ -13,7 +13,6 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from pvn3d_tpu.geometry.cloud import depth_to_cloud
 from pvn3d_tpu.data.normals import normals_from_depth_map
 
 
@@ -39,16 +38,33 @@ def sample_point_budget(n_valid: int, n_sample: int,
                         rng: np.random.RandomState) -> np.ndarray:
     """Indices selecting exactly ``n_sample`` of ``n_valid`` points.
 
-    Over-budget: random subset without replacement, in index order
+    Over-budget: uniform random subset without replacement, in index order
     (the reference shuffles a 0/1 mask then takes nonzeros,
     ycb_dataset.py:227-231 — same distribution).  Under-budget: wrap-pad
     (:233).
+
+    When n_valid >> n_sample the subset is drawn by rejection (draw with
+    replacement, dedupe, trim) instead of rng.choice's O(n_valid)
+    Fisher-Yates — ~7 ms/frame at the YCB working point (300k valid,
+    12288 sampled).  Conditioned on its size, the deduped set of iid
+    uniform draws is uniform over subsets of that size, and trimming with
+    a uniform sub-choice preserves that, so the distribution is identical.
     """
-    if n_valid >= n_sample:
-        sel = rng.choice(n_valid, n_sample, replace=False)
-        return np.sort(sel)
-    reps = -(-n_sample // n_valid)
-    return np.tile(np.arange(n_valid), reps)[:n_sample]
+    if n_valid < n_sample:
+        reps = -(-n_sample // n_valid)
+        return np.tile(np.arange(n_valid), reps)[:n_sample]
+    if n_valid < 4 * n_sample:
+        # Rejection would collide too often; full permutation is cheap here.
+        return np.sort(rng.choice(n_valid, n_sample, replace=False))
+    # Expected collisions ~ m^2 / (2 n_valid); oversample well past that.
+    extra = int(n_sample * n_sample / n_valid) + 8 * int(np.sqrt(n_sample)) + 64
+    cand = np.unique(rng.randint(0, n_valid, n_sample + extra))
+    while len(cand) < n_sample:              # vanishingly rare
+        cand = np.unique(np.concatenate(
+            [cand, rng.randint(0, n_valid, n_sample)]))
+    if len(cand) > n_sample:
+        cand = cand[np.sort(rng.choice(len(cand), n_sample, replace=False))]
+    return cand
 
 
 def build_targets(cld: np.ndarray, labels: np.ndarray,
@@ -113,21 +129,31 @@ def build_frame(rgb: np.ndarray, depth: np.ndarray, label_map: np.ndarray,
         }
         return sample
 
-    cld, choose = depth_to_cloud(depth, k, cam_scale)
-    if cld is None or len(choose) < spec.n_min_points:
+    # Sample the point budget on the valid-pixel indices FIRST, then
+    # unproject/gather only the sampled points (identical output to
+    # subsampling after: all ops are per-point and sample_point_budget
+    # returns ascending indices either way).
+    if depth.ndim > 2:
+        depth = depth[..., 0]
+    flat_depth = np.ascontiguousarray(depth, np.float32).reshape(-1)
+    choose_all = np.flatnonzero(flat_depth > 1e-6)
+    if len(choose_all) < spec.n_min_points:
         return None
+    sel = sample_point_budget(len(choose_all), spec.n_sample_points, rng)
+    choose = choose_all[sel]
+
+    w = depth.shape[1]
+    z = flat_depth[choose] / cam_scale
+    x = (choose % w - k[0, 2]) * z / k[0, 0]
+    y = (choose // w - k[1, 2]) * z / k[1, 1]
+    cld = np.stack([x, y, z], axis=1).astype(np.float32)
+
     if normals is None:
         normals = normals_from_depth_map(depth, k, cam_scale)
     nrm = normals.reshape(-1, 3)[choose]
     rgb_pt = rgb.reshape(-1, 3)[choose].astype(np.float32)
     labels = label_map.reshape(-1)[choose].astype(np.int32)
-
-    sel = sample_point_budget(len(choose), spec.n_sample_points, rng)
-    cld = cld[sel]
-    rgb_pt = rgb_pt[sel]
-    nrm = nrm[sel]
-    labels = labels[sel]
-    choose = choose[sel].astype(np.int32)
+    choose = choose.astype(np.int32)
 
     targets = build_targets(cld, labels, instances, spec)
     pointcloud = np.concatenate([cld, rgb_pt, nrm], axis=1).astype(np.float32)
