@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from pvn3d_tpu.config import PointNet2Config, SALevelConfig
@@ -97,10 +98,21 @@ class FeaturePropagation(nn.Module):
     @nn.compact
     def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
                  bn_momentum=0.1):
-        dist, idx = three_nn(unknown_xyz, known_xyz, mode=self.query_mode)
-        w = idw_weights(dist)
-        interp = three_interpolate(
-            known_feats.astype(jnp.float32), idx, w).astype(self.dtype)
+        if self.query_mode == "pallas":
+            # Fused exact 3-NN + IDW blend (ops/pallas/interp.py): no
+            # (n, 3, C) HBM intermediate; grads reach known_feats only
+            # (coords are data in every PVN3D use).
+            from pvn3d_tpu.ops.pallas.interp import three_interpolate_fused
+            interp, _, _ = three_interpolate_fused(
+                unknown_xyz, known_xyz, known_feats.astype(jnp.float32),
+                1e-8, jax.default_backend() != "tpu")
+            interp = interp.astype(self.dtype)
+        else:
+            dist, idx = three_nn(unknown_xyz, known_xyz,
+                                 mode=self.query_mode)
+            w = idw_weights(dist)
+            interp = three_interpolate(
+                known_feats.astype(jnp.float32), idx, w).astype(self.dtype)
         if unknown_feats is not None:
             interp = jnp.concatenate(
                 [interp, unknown_feats.astype(self.dtype)], axis=-1)

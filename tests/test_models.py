@@ -215,3 +215,25 @@ class TestFPSPrefixModel:
             vars_ = m.init(jax.random.PRNGKey(0), pc)
             outs[prefix] = np.asarray(m.apply(vars_, pc))
         np.testing.assert_array_equal(outs[False], outs[True])
+
+
+class TestPallasQueryModel:
+    def test_pointnet2_pallas_mode_close_to_exact(self):
+        """query_mode='pallas' routes SA ball query to the fused Pallas
+        kernel and FP interpolation to the fused 3-NN kernel (interpret
+        mode off-TPU).  On small clouds (N <= 128*capacity) both are
+        exact, so the trunk output matches the exact path bitwise up to
+        the f32 matmul reassociation in the fused IDW blend."""
+        from pvn3d_tpu.models.pointnet2 import PointNet2MSG
+        import dataclasses
+        cfg = small_config().pointnet2
+        rng = np.random.RandomState(0)
+        pc = jnp.asarray(rng.uniform(-1, 1, (2, 128, 6)).astype(np.float32))
+        outs = {}
+        for mode in ("exact", "pallas"):
+            c = dataclasses.replace(cfg, query_mode=mode)
+            m = PointNet2MSG(cfg=c, train=False)
+            vars_ = m.init(jax.random.PRNGKey(0), pc)
+            outs[mode] = np.asarray(m.apply(vars_, pc))
+        np.testing.assert_allclose(outs["pallas"], outs["exact"],
+                                   rtol=2e-4, atol=2e-4)

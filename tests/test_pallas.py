@@ -96,3 +96,81 @@ class TestBallQueryPallas:
         direct = ball_query_pallas(radii, ns, xyz, cen, interpret=True)
         for a, b in zip(via_mode, direct):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestThreeInterpolateFused:
+    """Fused 3-NN IDW kernel (ops/pallas/interp.py) vs the XLA exact path
+    (ops/interpolate.py) and the CUDA running-min tie order."""
+
+    def _ref(self, u, k, f):
+        from pvn3d_tpu.ops.interpolate import (idw_weights, three_interpolate,
+                                               three_nn)
+        dist, idx = three_nn(u, k, mode="exact")
+        w = idw_weights(dist)
+        return three_interpolate(f.astype(jnp.float32), idx, w), dist, idx
+
+    @pytest.mark.parametrize("n,m,c", [(300, 96, 64), (512, 128, 32)])
+    def test_matches_exact_path(self, n, m, c):
+        from pvn3d_tpu.ops.pallas.interp import three_interpolate_fused
+        rng = np.random.RandomState(0)
+        u = jnp.asarray(rng.randn(2, n, 3).astype(np.float32))
+        k = jnp.asarray(rng.randn(2, m, 3).astype(np.float32))
+        f = jnp.asarray(rng.randn(2, m, c).astype(np.float32))
+        out, dist, idx = three_interpolate_fused(u, k, f, 1e-8, True)
+        ref_out, ref_dist, ref_idx = self._ref(u, k, f)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+        np.testing.assert_allclose(np.asarray(dist), np.asarray(ref_dist),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_tie_order_matches_cuda_running_min(self):
+        # Duplicate known points force exact distance ties: the reference
+        # running min keeps both, earlier index first.
+        from pvn3d_tpu.ops.pallas.interp import three_interpolate_fused
+        k = np.zeros((1, 5, 3), np.float32)
+        k[0, 1] = [1.0, 0, 0]
+        k[0, 3] = [1.0, 0, 0]          # tie with index 1
+        k[0, 2] = [2.0, 0, 0]
+        k[0, 4] = [3.0, 0, 0]
+        u = np.zeros((1, 1, 3), np.float32)
+        u[0, 0] = [1.0, 0, 0]          # dists: 1,0,1,0,2 -> idx 1,3,0
+        f = np.arange(5, dtype=np.float32).reshape(1, 5, 1)
+        _, dist, idx = three_interpolate_fused(
+            jnp.asarray(u), jnp.asarray(k), jnp.asarray(f), 1e-8, True)
+        np.testing.assert_array_equal(np.asarray(idx)[0, 0], [1, 3, 0])
+        np.testing.assert_allclose(np.asarray(dist)[0, 0], [0, 0, 1],
+                                   atol=1e-6)
+
+    def test_gradient_matches_xla(self):
+        from pvn3d_tpu.ops.pallas.interp import three_interpolate_fused
+        from pvn3d_tpu.ops.interpolate import (idw_weights, three_interpolate,
+                                               three_nn)
+        rng = np.random.RandomState(1)
+        u = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+        k = jnp.asarray(rng.randn(1, 40, 3).astype(np.float32))
+        f = jnp.asarray(rng.randn(1, 40, 16).astype(np.float32))
+
+        def loss_fused(feat):
+            out, _, _ = three_interpolate_fused(u, k, feat, 1e-8, True)
+            return jnp.sum(out * out)
+
+        def loss_xla(feat):
+            dist, idx = three_nn(u, k, mode="exact")
+            out = three_interpolate(feat, idx, idw_weights(dist))
+            return jnp.sum(out * out)
+
+        g_fused = jax.grad(loss_fused)(f)
+        g_xla = jax.grad(loss_xla)(f)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_coordinate_grads_are_zero(self):
+        from pvn3d_tpu.ops.pallas.interp import three_interpolate_fused
+        rng = np.random.RandomState(2)
+        u = jnp.asarray(rng.randn(1, 16, 3).astype(np.float32))
+        k = jnp.asarray(rng.randn(1, 8, 3).astype(np.float32))
+        f = jnp.asarray(rng.randn(1, 8, 4).astype(np.float32))
+        g = jax.grad(lambda uu: jnp.sum(
+            three_interpolate_fused(uu, k, f, 1e-8, True)[0]))(u)
+        assert (np.asarray(g) == 0).all()
