@@ -70,6 +70,26 @@ def test_sample_point_budget():
     np.testing.assert_array_equal(under, np.tile(np.arange(10), 3)[:25])
 
 
+def test_sample_point_budget_rejection_path_uniform():
+    """The n >> k rejection path (draw + dedupe + trim) must yield a
+    valid uniform k-subset: exact size, sorted unique indices, and
+    per-element inclusion frequency k/n within binomial tolerance."""
+    rng = np.random.RandomState(1)
+    n, k, trials = 4096, 64, 3000           # n = 64*k -> rejection branch
+    counts = np.zeros(n, np.int64)
+    for _ in range(trials):
+        sel = sample_point_budget(n, k, rng)
+        assert len(sel) == k and (np.diff(sel) > 0).all()
+        assert sel.min() >= 0 and sel.max() < n
+        counts[sel] += 1
+    p = k / n
+    # Per-element count ~ Binomial(trials, p); 6-sigma band.
+    sd = np.sqrt(trials * p * (1 - p))
+    assert abs(counts.mean() - trials * p) < 6 * sd / np.sqrt(n)
+    assert counts.max() < trials * p + 8 * sd
+    assert counts.min() > trials * p - 8 * sd
+
+
 def test_build_frame_targets_recover_keypoints():
     h, w = 120, 160
     depth = _plane_depth(h, w, z=1.0, holes=0.0)
