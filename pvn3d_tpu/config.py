@@ -179,6 +179,11 @@ class CNNConfig:
     embedding_dim: int = 128      # per-pixel embedding fed to fusion
     dropout_psp: float = 0.3
     dropout_up: float = 0.15
+    # Bilinear-resize realization in the PSP pyramid/upsample stages:
+    # "matmul" (static-weight MXU matmuls) or "lerp" (2-tap gather+lerp,
+    # O(out) memory traffic).  Bit-equivalent results
+    # (models/layers.py::resize_bilinear); a perf A/B knob.
+    resize_method: str = "matmul"
 
 
 @dataclasses.dataclass(frozen=True)

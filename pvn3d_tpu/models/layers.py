@@ -139,10 +139,46 @@ def _resize_matrix(src: int, dst: int, align_corners: bool) -> np.ndarray:
     return out
 
 
+def _resize_taps(src: int, dst: int, align_corners: bool):
+    """Per-output (lo, hi, frac) 2-tap coordinates, torch semantics."""
+    lo = np.zeros(dst, np.int32)
+    hi = np.zeros(dst, np.int32)
+    fr = np.zeros(dst, np.float32)
+    for i in range(dst):
+        if align_corners:
+            pos = i * (src - 1) / (dst - 1) if dst > 1 else 0.0
+        else:
+            pos = (i + 0.5) * src / dst - 0.5
+        pos = min(max(pos, 0.0), src - 1)
+        lo[i] = int(np.floor(pos))
+        hi[i] = min(lo[i] + 1, src - 1)
+        fr[i] = pos - lo[i]
+    return lo, hi, fr
+
+
 def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
-                    align_corners: bool = False) -> jnp.ndarray:
-    """Separable bilinear resize of (..., H, W, C) via two static matmuls."""
+                    align_corners: bool = False,
+                    method: str = "matmul") -> jnp.ndarray:
+    """Separable bilinear resize of (..., H, W, C).
+
+    ``method``:
+      * "matmul" — two static-weight matmuls (MXU work; the dense
+        (out, src) matrix is mostly 2-tap zeros but maps perfectly onto
+        the systolic array).
+      * "lerp" — two static 2-tap gather+lerp passes: O(out) memory
+        traffic instead of O(out*src) MXU work.  Same weights, same
+        result (each matrix row has exactly the two lerp taps).
+    """
     h, w = x.shape[-3], x.shape[-2]
+    if method == "lerp":
+        lo_h, hi_h, f_h = _resize_taps(h, out_h, align_corners)
+        lo_w, hi_w, f_w = _resize_taps(w, out_w, align_corners)
+        fh = jnp.asarray(f_h, x.dtype)[:, None, None]
+        x = (jnp.take(x, jnp.asarray(lo_h), axis=-3) * (1 - fh)
+             + jnp.take(x, jnp.asarray(hi_h), axis=-3) * fh)
+        fw = jnp.asarray(f_w, x.dtype)[:, None]
+        return (jnp.take(x, jnp.asarray(lo_w), axis=-2) * (1 - fw)
+                + jnp.take(x, jnp.asarray(hi_w), axis=-2) * fw)
     wh = jnp.asarray(_resize_matrix(h, out_h, align_corners), x.dtype)
     ww = jnp.asarray(_resize_matrix(w, out_w, align_corners), x.dtype)
     x = jnp.einsum("oh,...hwc->...owc", wh, x)

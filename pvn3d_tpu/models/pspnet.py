@@ -32,6 +32,7 @@ class PSPModule(nn.Module):
     out_features: int = 1024
     sizes: Sequence[int] = (1, 2, 3, 6)
     dtype: jnp.dtype = jnp.float32
+    resize_method: str = "matmul"
 
     @nn.compact
     def __call__(self, x):
@@ -42,7 +43,8 @@ class PSPModule(nn.Module):
             p = adaptive_avg_pool(x, s, s)
             p = nn.Conv(feats, (1, 1), use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"stage{s}")(p)
-            priors.append(resize_bilinear(p, h, w, align_corners=False))
+            priors.append(resize_bilinear(p, h, w, align_corners=False,
+                                          method=self.resize_method))
         priors.append(x)
         y = jnp.concatenate(priors, axis=-1)
         y = nn.Conv(self.out_features, (1, 1), use_bias=True,
@@ -84,6 +86,7 @@ class PSPUpsample(nn.Module):
     features: int
     train: bool = True
     dtype: jnp.dtype = jnp.float32
+    resize_method: str = "matmul"
 
     def setup(self):
         self.conv = nn.Conv(self.features, (3, 3),
@@ -95,7 +98,8 @@ class PSPUpsample(nn.Module):
 
     def __call__(self, x, bn_momentum=0.1):
         h, w = x.shape[-3], x.shape[-2]
-        x = resize_bilinear(x, 2 * h, 2 * w, align_corners=True)
+        x = resize_bilinear(x, 2 * h, 2 * w, align_corners=True,
+                            method=self.resize_method)
         x = self.conv(x)
         x = self.bn(x, bn_momentum)
         return self.prelu(x)
@@ -145,16 +149,23 @@ class PSPNetEmbedding(nn.Module):
     backbone_layers: Sequence[int] = (3, 4, 6, 3)
     train: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Bilinear-resize realization for the pyramid/upsample stages:
+    # "matmul" (static-matrix MXU form) or "lerp" (2-tap gather form);
+    # bit-equivalent, layers.py::resize_bilinear.
+    resize_method: str = "matmul"
 
     def setup(self):
         self.trunk = DilatedResNet(layers=self.backbone_layers,
                                    train=self.train, dtype=self.dtype)
         self.psp = PSPModule(out_features=self.psp_out, sizes=self.sizes,
-                             dtype=self.dtype)
+                             dtype=self.dtype,
+                             resize_method=self.resize_method)
         self.drop_psp = nn.Dropout(self.dropout_psp,
                                    deterministic=not self.train)
         self.ups = [PSPUpsample(features=ch, train=self.train,
-                                dtype=self.dtype, name=f"up{i + 1}")
+                                dtype=self.dtype,
+                                resize_method=self.resize_method,
+                                name=f"up{i + 1}")
                     for i, ch in enumerate(self.up_channels)]
         self.drop_ups = [nn.Dropout(self.dropout_up,
                                     deterministic=not self.train)

@@ -110,6 +110,7 @@ class PVN3D(nn.Module):
             embedding_dim=cfg.cnn.embedding_dim,
             dropout_psp=cfg.cnn.dropout_psp, dropout_up=cfg.cnn.dropout_up,
             backbone_layers=cfg.cnn.backbone_layers,
+            resize_method=cfg.cnn.resize_method,
             train=self.train, dtype=dtype, name="cnn")
 
         if self.sparse_cnn:

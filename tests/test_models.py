@@ -66,6 +66,15 @@ class TestLayers:
         y = resize_bilinear(x, 5, 6, align_corners=False)
         np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
 
+    def test_resize_lerp_matches_matmul(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 13, 5))
+        for ac, (oh, ow) in [(True, (18, 26)), (False, (5, 40)),
+                             (True, (9, 13))]:
+            a = resize_bilinear(x, oh, ow, align_corners=ac)
+            b = resize_bilinear(x, oh, ow, align_corners=ac, method="lerp")
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-5)
+
     def test_adaptive_pool_matches_torch_binning(self):
         # 80 -> 6 bins: torch uses floor/ceil bin edges.
         x = jnp.arange(80.0).reshape(1, 1, 80, 1)
