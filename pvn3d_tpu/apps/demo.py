@@ -24,7 +24,14 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--no_fill_depth", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default="",
+                   help="force a jax backend (e.g. 'cpu') — the env var "
+                        "alone cannot override this image's pre-registered "
+                        "remote TPU backend")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax as _jax
+        _jax.config.update("jax_platforms", args.platform)
 
     import cv2
 

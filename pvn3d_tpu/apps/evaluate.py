@@ -47,6 +47,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "workers only decode images) — removes the "
                         "~70 ms/frame host loader bottleneck")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default="",
+                   help="force a jax backend (e.g. 'cpu') — the env var "
+                        "alone cannot override this image's pre-registered "
+                        "remote TPU backend")
     p.add_argument("--packed_dir", default="",
                    help="evaluate from npz shards (tools/preprocess_testset)"
                         " instead of raw frames — also the Occlusion-LineMOD"
@@ -56,6 +60,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.platform:
+        import jax as _jax
+        _jax.config.update("jax_platforms", args.platform)
     if not args.torch_ckpt and not args.checkpoint_dir:
         raise SystemExit("need --checkpoint_dir or --torch_ckpt")
     if args.occ and args.dataset != "linemod":

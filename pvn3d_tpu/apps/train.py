@@ -40,6 +40,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="multi-host: call jax.distributed.initialize()")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default="",
+                   help="force a jax backend (e.g. 'cpu') — the env var "
+                        "alone cannot override this image's pre-registered "
+                        "remote TPU backend")
     p.add_argument("--pretrained_trunk", default="",
                    help="torchvision resnet34 .pth to seed the image trunk "
                         "(reference behavior: extractors.py:215-224)")
@@ -84,6 +88,9 @@ def make_dataset_factory(args, split: str):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.platform:
+        import jax as _jax
+        _jax.config.update("jax_platforms", args.platform)
     from pvn3d_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     if args.distributed:
