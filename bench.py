@@ -44,8 +44,30 @@ T = 50
 
 
 def main():
+    import argparse
+    import dataclasses
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--query_mode", default="",
+                    help="override PointNet2Config.query_mode "
+                         "(exact/approx/pallas) for A/B runs")
+    ap.add_argument("--resize_method", default="",
+                    help="override CNNConfig.resize_method (matmul/lerp)")
+    ap.add_argument("--sparse_cnn", action="store_true",
+                    help="evaluate the CNN tail at the sampled pixels only "
+                         "(parameter-identical; models/pspnet.py)")
+    args = ap.parse_args()
+
     cfg = Config.ycb()
-    model = PVN3D(cfg=cfg.model, train=False)
+    if args.query_mode:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, pointnet2=dataclasses.replace(
+                cfg.model.pointnet2, query_mode=args.query_mode)))
+    if args.resize_method:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, cnn=dataclasses.replace(
+                cfg.model.cnn, resize_method=args.resize_method)))
+    model = PVN3D(cfg=cfg.model, train=False, sparse_cnn=args.sparse_cnn)
     batch = synthetic_batch(cfg, batch_size=1, seed=0)
     pointcloud = jnp.asarray(batch["pointcloud"])
     rgb = jnp.asarray(batch["rgb"])

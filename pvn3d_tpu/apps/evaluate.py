@@ -47,6 +47,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "workers only decode images) — removes the "
                         "~70 ms/frame host loader bottleneck")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sparse_cnn", action="store_true",
+                   help="evaluate the CNN tail at the sampled pixels only "
+                        "(parameter-identical sparse path, models/pspnet.py)")
     p.add_argument("--platform", default="",
                    help="force a jax backend (e.g. 'cpu') — the env var "
                         "alone cannot override this image's pre-registered "
@@ -97,7 +100,7 @@ def main(argv=None):
     else:
         state = CheckpointManager(args.checkpoint_dir).restore(state) or state
         print(f"evaluating from step {int(state.step)}", flush=True)
-    eval_model = model.clone(train=False)
+    eval_model = model.clone(train=False, sparse_cnn=args.sparse_cnn)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     if is_lm:

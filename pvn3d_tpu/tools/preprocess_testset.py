@@ -22,17 +22,34 @@ from pvn3d_tpu.data.frame import collate
 
 
 def pack_dataset(dataset, out_dir: str, shard_size: int = 64,
-                 max_frames: int = 0, workers: int = 0) -> int:
+                 max_frames: int = 0, workers: int = 0,
+                 train_targets: bool = False, compress: bool = False) -> int:
+    """Pack ``dataset`` into npz shards.
+
+    Eval-oriented by default: the per-point offset targets (train-only,
+    ~10 MB/8 frames) are dropped unless ``train_targets``, integer-valued
+    rgb stores as uint8 (exact — test-split pixels are raw 0-255 values),
+    and shards are STORED rather than deflated (zlib decompression alone
+    capped read-back at ~26 frames/s, below the chip's inference rate;
+    uncompressed npz reads at disk speed)."""
     os.makedirs(out_dir, exist_ok=True)
     buf, shard, n = [], 0, 0
+    save = np.savez_compressed if compress else np.savez
 
     def flush():
         nonlocal buf, shard
         if not buf:
             return
         batch = collate(buf)
-        np.savez_compressed(
-            os.path.join(out_dir, f"shard_{shard:05d}.npz"), **batch)
+        if not train_targets:
+            batch.pop("kp_targ_ofst", None)
+            batch.pop("ctr_targ_ofst", None)
+        rgb = batch.get("rgb")
+        if rgb is not None and rgb.dtype == np.float32:
+            u8 = rgb.astype(np.uint8)
+            if np.array_equal(u8.astype(np.float32), rgb):
+                batch["rgb"] = u8
+        save(os.path.join(out_dir, f"shard_{shard:05d}.npz"), **batch)
         buf = []
         shard += 1
 
@@ -60,6 +77,8 @@ def iter_packed_batches(out_dir: str, batch_size: int = 0):
     for path in sorted(glob.glob(os.path.join(out_dir, "shard_*.npz"))):
         with np.load(path) as z:
             shard = {k: z[k] for k in z.files}
+        if shard.get("rgb") is not None and shard["rgb"].dtype == np.uint8:
+            shard["rgb"] = shard["rgb"].astype(np.float32)
         n = len(next(iter(shard.values())))
         if not batch_size or batch_size >= n:
             yield shard
@@ -78,6 +97,10 @@ def main(argv=None):
     p.add_argument("--max_frames", type=int, default=0)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--no_fill_depth", action="store_true")
+    p.add_argument("--train_targets", action="store_true",
+                   help="keep the per-point offset targets (train-only)")
+    p.add_argument("--compress", action="store_true",
+                   help="deflate shards (smaller, ~3x slower to read)")
     args = p.parse_args(argv)
     if args.dataset == "ycb":
         from pvn3d_tpu.data.ycb import YCBDataset
@@ -87,7 +110,9 @@ def main(argv=None):
         from pvn3d_tpu.data.linemod import LineMODDataset
         ds = LineMODDataset(args.data_root, cls_type=args.cls, split="test")
     n = pack_dataset(ds, args.out, shard_size=args.shard_size,
-                     max_frames=args.max_frames, workers=args.workers)
+                     max_frames=args.max_frames, workers=args.workers,
+                     train_targets=args.train_targets,
+                     compress=args.compress)
     print(f"packed {n} frames into {args.out}")
 
 
