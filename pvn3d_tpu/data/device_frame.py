@@ -78,3 +78,122 @@ def build_inference_batch_device(rgb, depth, cam_k, key, n_sample: int,
         lambda r, d, k, ky: build_inference_frame_device(
             r, d, k, ky, n_sample=n_sample, cam_scale=cam_scale,
             fill=fill))(rgb, depth, cam_k, keys)
+
+
+# ---------------------------------------------------------------------------
+# Training path: device-side augmentation + target construction
+# ---------------------------------------------------------------------------
+
+def build_targets_device(cld: jnp.ndarray, labels: jnp.ndarray,
+                         cls_ids: jnp.ndarray, rts: jnp.ndarray,
+                         mesh_kps: jnp.ndarray, mesh_ctrs: jnp.ndarray,
+                         n_classes: int):
+    """jnp twin of data/frame.py::build_targets (exact math).
+
+    cld (P, 3), labels (P,), cls_ids (I,) int32 (0 = empty slot),
+    rts (I, 3, 4), mesh_kps (I, K, 3), mesh_ctrs (I, 3).
+    Offsets are point - transformed_target at each instance's labeled
+    points (ycb_dataset.py:241-278).
+    """
+    r = rts[:, :, :3]                                    # (I, 3, 3)
+    t = rts[:, :, 3]                                     # (I, 3)
+    kps_cam = jnp.einsum("ikc,idc->ikd", mesh_kps, r) + t[:, None, :]
+    ctr_cam = jnp.einsum("ic,idc->id", mesh_ctrs, r) + t
+
+    # Label value -> instance row (or -1).  Padded slots (cls 0) only
+    # write lut[0], which `labels > 0` below never reads.
+    valid = cls_ids > 0
+    rows = jnp.arange(cls_ids.shape[0], dtype=jnp.int32)
+    lut = jnp.full((n_classes,), -1, jnp.int32)
+    lut = lut.at[jnp.clip(cls_ids, 0, n_classes - 1)].set(rows, mode="drop")
+    inst = lut[jnp.clip(labels, 0, n_classes - 1)]       # (P,)
+    hit = (inst >= 0) & (labels > 0)
+    safe = jnp.maximum(inst, 0)
+
+    kp_t = jnp.where(hit[:, None, None],
+                     cld[:, None, :] - kps_cam[safe], 0.0)
+    ctr_t = jnp.where(hit[:, None], cld - ctr_cam[safe], 0.0)[:, None, :]
+    return {
+        "cls_ids": cls_ids.astype(jnp.int32), "rts": rts,
+        "kp_3ds": jnp.where(valid[:, None, None], kps_cam, 0.0),
+        "ctr_3ds": jnp.where(valid[:, None], ctr_cam, 0.0),
+        "kp_targ_ofst": kp_t.astype(jnp.float32),
+        "ctr_targ_ofst": ctr_t.astype(jnp.float32),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_sample", "n_classes", "cam_scale", "fill", "dataset", "augment"))
+def build_train_frame_device(rgb, depth, label_map, cam_k, cls_ids, rts,
+                             mesh_kps, mesh_ctrs, is_syn, back_rgb,
+                             back_depth, back_label, key,
+                             n_sample: int = 12288, n_classes: int = 22,
+                             cam_scale: float = 1.0, fill: bool = True,
+                             dataset: str = "ycb", augment: bool = True):
+    """One TRAIN frame from raw arrays, augmentation included, on device.
+
+    Mirrors the reference train get_item (ycb_dataset.py:190-306 tail +
+    the augmentation head :109-177) with the jnp twins: color jitter on
+    every frame, the synthetic-frame noise stack + real-background paste
+    where ``is_syn`` (traced bool — both branches compute, select), depth
+    fill, normals, uniform point subsample, GT offset targets.
+
+    rgb/back_rgb: (H, W, 3) 0-255 float; depth/back_depth raw units.
+    Returns the same sample dict as the host build (data/frame.py).
+    """
+    from pvn3d_tpu.ops.augment_device import (add_real_back_jnp,
+                                              color_jitter_jnp,
+                                              rgb_add_noise_lm_jnp,
+                                              rgb_add_noise_ycb_jnp)
+    h, w = depth.shape
+    keys = jax.random.split(key, 6)
+    noise_fn = (rgb_add_noise_ycb_jnp if dataset == "ycb"
+                else rgb_add_noise_lm_jnp)
+
+    if augment:
+        rgb = color_jitter_jnp(keys[0], rgb)
+        syn_rgb = noise_fn(keys[1], rgb)
+        syn_rgb, syn_depth = add_real_back_jnp(
+            syn_rgb, label_map, depth, back_rgb, back_depth, back_label)
+        again = jax.random.uniform(keys[2]) > 0.8
+        syn_rgb = jnp.where(again, noise_fn(keys[3], syn_rgb), syn_rgb)
+        rgb = jnp.where(is_syn, syn_rgb, rgb)
+        depth = jnp.where(is_syn, syn_depth, depth)
+
+    built = build_inference_frame_device(
+        rgb, depth, cam_k, keys[4], n_sample=n_sample,
+        cam_scale=cam_scale, fill=fill)
+    choose = built["choose"]
+    labels = label_map.reshape(h * w)[choose].astype(jnp.int32)
+    targets = build_targets_device(
+        built["pointcloud"][:, :3], labels, cls_ids, rts, mesh_kps,
+        mesh_ctrs, n_classes)
+    sample = {
+        "pointcloud": built["pointcloud"], "rgb": rgb.astype(jnp.float32),
+        "choose": choose, "labels": labels,
+    }
+    sample.update(targets)
+    return sample
+
+
+def build_train_batch_device(raw: dict, key, n_sample: int, n_classes: int,
+                             cam_scale: float = 1.0, fill: bool = True,
+                             dataset: str = "ycb", augment: bool = True):
+    """Batched raw-train builder: dict of (B, ...) arrays -> train batch.
+
+    ``raw`` carries rgb, depth, label_map, cam_k, cls_ids, rts, mesh_kps,
+    mesh_ctrs, is_syn, back_rgb, back_depth, back_label (see
+    YCBDataset raw-train mode).
+    """
+    b = raw["rgb"].shape[0]
+    keys = jax.random.split(key, b)
+    return jax.vmap(
+        lambda r, ky: build_train_frame_device(
+            r["rgb"], r["depth"], r["label_map"], r["cam_k"], r["cls_ids"],
+            r["rts"], r["mesh_kps"], r["mesh_ctrs"], r["is_syn"],
+            r["back_rgb"], r["back_depth"], r["back_label"], ky,
+            n_sample=n_sample, n_classes=n_classes, cam_scale=cam_scale,
+            fill=fill, dataset=dataset, augment=augment)
+    )({k: raw[k] for k in ("rgb", "depth", "label_map", "cam_k", "cls_ids",
+                           "rts", "mesh_kps", "mesh_ctrs", "is_syn",
+                           "back_rgb", "back_depth", "back_label")}, keys)

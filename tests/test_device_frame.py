@@ -83,3 +83,97 @@ def test_batched_matches_single():
         jax.random.split(key, 1)[0], n_sample=512)
     np.testing.assert_allclose(np.asarray(batch["pointcloud"][0]),
                                np.asarray(single["pointcloud"]), atol=0)
+
+
+class TestTrainBuilder:
+    def _instances(self, rng, n_inst=2, n_kps=8):
+        cls_ids = np.zeros(12, np.int32)
+        rts = np.zeros((12, 3, 4), np.float32)
+        kps = np.zeros((12, n_kps, 3), np.float32)
+        ctrs = np.zeros((12, 3), np.float32)
+        tuples = []
+        for i in range(n_inst):
+            cls_ids[i] = i + 1
+            ang = rng.rand() * 2 * np.pi
+            r = np.array([[np.cos(ang), -np.sin(ang), 0],
+                          [np.sin(ang), np.cos(ang), 0],
+                          [0, 0, 1]], np.float32)
+            t = rng.rand(3).astype(np.float32)
+            rts[i] = np.concatenate([r, t[:, None]], 1)
+            kps[i] = rng.rand(n_kps, 3).astype(np.float32) * 0.1
+            ctrs[i] = rng.rand(3).astype(np.float32) * 0.1
+            tuples.append((i + 1, rts[i], kps[i], ctrs[i]))
+        return cls_ids, rts, kps, ctrs, tuples
+
+    def test_targets_match_host_oracle(self):
+        from pvn3d_tpu.data.device_frame import build_targets_device
+        from pvn3d_tpu.data.frame import FrameSpec, build_targets
+        rng = np.random.RandomState(0)
+        p = 256
+        cld = rng.randn(p, 3).astype(np.float32)
+        labels = rng.randint(0, 4, p).astype(np.int32)   # 0..3, cls 3 absent
+        cls_ids, rts, kps, ctrs, tuples = self._instances(rng)
+        host = build_targets(cld, labels, tuples,
+                             FrameSpec(n_keypoints=8, max_instances=12))
+        dev = build_targets_device(
+            jnp.asarray(cld), jnp.asarray(labels), jnp.asarray(cls_ids),
+            jnp.asarray(rts), jnp.asarray(kps), jnp.asarray(ctrs),
+            n_classes=22)
+        for k in ("cls_ids", "rts", "kp_3ds", "ctr_3ds", "kp_targ_ofst",
+                  "ctr_targ_ofst"):
+            np.testing.assert_allclose(np.asarray(dev[k]), host[k],
+                                       atol=1e-5, err_msg=k)
+
+    def test_train_frame_device_runs_and_is_consistent(self):
+        from pvn3d_tpu.data.device_frame import build_train_frame_device
+        rng = np.random.RandomState(1)
+        h, w = 48, 64
+        depth = 0.8 + 0.4 * rng.rand(h, w).astype(np.float32)
+        depth[rng.rand(h, w) < 0.2] = 0.0
+        label_map = np.zeros((h, w), np.int32)
+        label_map[10:30, 20:50] = 1
+        rgb = rng.randint(0, 256, (h, w, 3)).astype(np.float32)
+        k = np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], np.float32)
+        cls_ids, rts, kps, ctrs, _ = self._instances(rng, n_inst=1)
+        out = build_train_frame_device(
+            jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(label_map),
+            jnp.asarray(k), jnp.asarray(cls_ids), jnp.asarray(rts),
+            jnp.asarray(kps), jnp.asarray(ctrs), jnp.asarray(True),
+            jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(label_map),
+            jax.random.PRNGKey(0), n_sample=512, n_classes=22,
+            fill=True, dataset="ycb")
+        pc = np.asarray(out["pointcloud"])
+        assert pc.shape == (512, 9)
+        assert np.isfinite(pc).all()
+        labels_pt = np.asarray(out["labels"])
+        # offsets are zero exactly off the labeled points
+        kp_t = np.asarray(out["kp_targ_ofst"])
+        assert (np.abs(kp_t[labels_pt == 0]) == 0).all()
+        if (labels_pt == 1).any():
+            assert np.abs(kp_t[labels_pt == 1]).max() > 0
+        # augmented rgb stays in range
+        assert np.asarray(out["rgb"]).min() >= 0
+        assert np.asarray(out["rgb"]).max() <= 255
+
+    def test_augment_off_matches_inference_features(self):
+        from pvn3d_tpu.data.device_frame import (
+            build_inference_frame_device, build_train_frame_device)
+        rng = np.random.RandomState(2)
+        h, w = 48, 64
+        depth = 0.8 + 0.4 * rng.rand(h, w).astype(np.float32)
+        rgb = rng.randint(0, 256, (h, w, 3)).astype(np.float32)
+        label_map = np.zeros((h, w), np.int32)
+        k = np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], np.float32)
+        cls_ids, rts, kps, ctrs, _ = self._instances(rng, n_inst=1)
+        key = jax.random.PRNGKey(3)
+        ref = build_inference_frame_device(
+            jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(k),
+            jax.random.split(key, 6)[4], n_sample=256)
+        out = build_train_frame_device(
+            jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(label_map),
+            jnp.asarray(k), jnp.asarray(cls_ids), jnp.asarray(rts),
+            jnp.asarray(kps), jnp.asarray(ctrs), jnp.asarray(False),
+            jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(label_map),
+            key, n_sample=256, n_classes=22, augment=False)
+        np.testing.assert_allclose(np.asarray(out["pointcloud"]),
+                                   np.asarray(ref["pointcloud"]), atol=1e-6)
