@@ -31,6 +31,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_steps", type=int, default=0,
                    help="0 = full budget (25 epochs x 4000 iters)")
     p.add_argument("--no_fill_depth", action="store_true")
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="YCB: ship raw decoded frames and run augmentation"
+                        " + depth fill + normals + sampling + GT targets "
+                        "inside the jitted train step (the host only "
+                        "decodes PNGs; see data/device_frame.py)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize forward in backward (large per-chip batch)")
     p.add_argument("--remat_policy", default="", choices=("", "full", "dots"),
@@ -40,6 +45,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="multi-host: call jax.distributed.initialize()")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--file_list", default="",
+                   help="YCB: override the vendored split list (custom "
+                        "subsets / smoke runs)")
     p.add_argument("--platform", default="",
                    help="force a jax backend (e.g. 'cpu') — the env var "
                         "alone cannot override this image's pre-registered "
@@ -73,7 +81,8 @@ def make_dataset_factory(args, split: str):
         from pvn3d_tpu.data.ycb import YCBDataset
         return functools.partial(YCBDataset, args.data_root, split=split,
                                  spec=spec, seed=args.seed,
-                                 fill_depth=not args.no_fill_depth)
+                                 fill_depth=not args.no_fill_depth,
+                                 file_list=getattr(args, "file_list", ""))
     if getattr(args, "occ", False):
         from pvn3d_tpu.data.occlusion_linemod import OcclusionLineMODDataset
         return functools.partial(
@@ -151,16 +160,39 @@ def main(argv=None):
           f"devices: {jax.device_count()}  batch: {batch_size}", flush=True)
     state = jax.device_put(state, replicated(mesh))
 
+    if args.device_preprocess and args.dataset != "ycb":
+        raise SystemExit("--device_preprocess training is YCB-only for now")
     train_loader = DataLoader(
         make_dataset_factory(args, "train"), batch_size,
         num_workers=args.workers, seed=args.seed, steps=max_steps)
+    # Validation always consumes host-built frames (no augmentation, so
+    # there is nothing to move on device that the eval raw path doesn't
+    # already cover).
+    import copy
+    val_args = copy.copy(args)
+    val_args.device_preprocess = False
     val_loader = DataLoader(
-        make_dataset_factory(args, "test"), batch_size,
+        make_dataset_factory(val_args, "test"), batch_size,
         num_workers=max(args.workers // 2, 0), seed=args.seed)
+
+    train_step = make_train_step(cfg, model, tx)
+    if args.device_preprocess:
+        from pvn3d_tpu.data.device_frame import build_train_batch_device
+
+        def train_step_raw(state, raw, rng, _base=train_step):
+            b_rng = jax.random.fold_in(jax.random.fold_in(rng, 7919),
+                                       state.step)
+            batch = build_train_batch_device(
+                raw, b_rng, n_sample=cfg.model.n_sample_points,
+                n_classes=cfg.model.n_classes,
+                fill=not args.no_fill_depth, dataset=args.dataset)
+            return _base(state, batch, rng)
+
+        train_step = train_step_raw
 
     trainer = Trainer(
         cfg, state,
-        make_train_step(cfg, model, tx),
+        train_step,
         make_eval_step(cfg, model),
         checkpoint_manager=CheckpointManager(args.checkpoint_dir),
         log_every=args.log_every,

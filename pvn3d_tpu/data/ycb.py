@@ -100,6 +100,14 @@ class YCBDataset:
         cam_scale = float(meta["factor_depth"].ravel()[0])
         is_syn = "syn" in item_name
 
+        if self.spec.device_preprocess and self.add_noise:
+            # Raw-train mode: the host only decodes; augmentation, depth
+            # fill, normals, sampling and GT targets all run inside the
+            # jitted train step (data/device_frame.py::
+            # build_train_batch_device).
+            return self._raw_train_item(rgb, depth, labels, meta, k,
+                                        cam_scale, is_syn)
+
         if self.add_noise:
             rgb = augment.color_jitter(self.rng, rgb.astype(np.uint8))
         if self.add_noise and is_syn:
@@ -124,6 +132,55 @@ class YCBDataset:
 
         return build_frame(rgb, depth / cam_scale, labels, k, 1.0,
                            instances, self.spec, self.rng)
+
+    def _raw_train_item(self, rgb, depth, labels, meta, k, cam_scale,
+                        is_syn: bool):
+        """Raw arrays + padded instance metadata for the on-device train
+        builder.  Depths ship metric (already / factor_depth) so a single
+        static cam_scale=1.0 serves every frame on device."""
+        depth_m = depth.astype(np.float32) / cam_scale
+        if int(np.count_nonzero(depth_m > 1e-6)) < self.spec.n_min_points:
+            return None
+        ni, nk = self.spec.max_instances, self.spec.n_keypoints
+        cls_ids = np.zeros((ni,), np.int32)
+        rts = np.zeros((ni, 3, 4), np.float32)
+        mesh_kps = np.zeros((ni, nk, 3), np.float32)
+        mesh_ctrs = np.zeros((ni, 3), np.float32)
+        ids = meta["cls_indexes"].ravel().astype(np.int32)[:ni]
+        for i, cid in enumerate(ids):
+            cls_ids[i] = cid
+            rts[i] = meta["poses"][:, :, i].astype(np.float32)
+            mesh_kps[i] = get_kps(int(cid), kp_type=self.kp_type,
+                                  ds_type="ycb")
+            mesh_ctrs[i] = get_ctr(int(cid), ds_type="ycb")
+
+        h, w = depth_m.shape
+        back_rgb = np.zeros((h, w, 3), np.float32)
+        back_depth = np.zeros((h, w), np.float32)
+        back_label = np.zeros((h, w), np.int32)
+        if is_syn and self.real_lst:
+            real_item = self.real_lst[self.rng.randint(len(self.real_lst))]
+            try:
+                b_rgb, b_depth, b_label, b_meta = self._load_raw(real_item)
+            except (OSError, ValueError):
+                pass
+            else:
+                b_scale = float(b_meta["factor_depth"].ravel()[0])
+                back_rgb = b_rgb[..., :3].astype(np.float32)
+                back_depth = b_depth.astype(np.float32) / b_scale
+                back_label = b_label.astype(np.int32)
+
+        return {
+            "rgb": rgb[..., :3].astype(np.float32),
+            "depth": depth_m,
+            "label_map": labels.astype(np.int32),
+            "cam_k": np.asarray(k, np.float32),
+            "cls_ids": cls_ids, "rts": rts,
+            "mesh_kps": mesh_kps, "mesh_ctrs": mesh_ctrs,
+            "is_syn": np.bool_(is_syn),
+            "back_rgb": back_rgb, "back_depth": back_depth,
+            "back_label": back_label,
+        }
 
     def _paste_real_background(self, rgb, labels, depth):
         real_item = self.real_lst[self.rng.randint(len(self.real_lst))]
