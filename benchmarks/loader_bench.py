@@ -35,7 +35,8 @@ def bench_workers(factory, n_workers: int, n_frames: int,
     t0 = time.perf_counter()
     n = 0
     for batch in it:
-        n += batch["pointcloud"].shape[0]
+        key = "pointcloud" if "pointcloud" in batch else "rgb"
+        n += batch[key].shape[0]
     dt = time.perf_counter() - t0
     return n / dt if n else 0.0
 
@@ -52,12 +53,17 @@ def main(argv=None):
                    help="measured chip-side e2e inference fps (bench.py)")
     p.add_argument("--train_fps", type=float, default=40.0,
                    help="measured chip-side train frames/s")
+    p.add_argument("--raw", action="store_true",
+                   help="measure the raw-train mode (device_preprocess: "
+                        "host decodes only; augment/fill/normals/targets "
+                        "run on device inside the train step)")
     args = p.parse_args(argv)
 
     import functools
 
     tmp = None
     if args.dataset == "ycb":
+        from pvn3d_tpu.data.frame import FrameSpec
         from pvn3d_tpu.data.ycb import YCBDataset
         root = args.root
         file_list = ""
@@ -66,8 +72,9 @@ def main(argv=None):
             tmp = tempfile.TemporaryDirectory()
             root = make_fake_ycb(tmp.name, n_frames=8)
             file_list = f"{root}/image_list.txt"
-        factory = functools.partial(YCBDataset, root, split="train",
-                                    file_list=file_list)
+        factory = functools.partial(
+            YCBDataset, root, split="train", file_list=file_list,
+            spec=FrameSpec(device_preprocess=args.raw))
     else:
         from pvn3d_tpu.data.linemod import LineMODDataset
         root = args.root
@@ -90,7 +97,7 @@ def main(argv=None):
     need_infer = args.chip_fps
     need_train = args.train_fps
     verdict = {
-        "metric": "host_loader_fps",
+        "metric": "host_loader_fps_raw" if args.raw else "host_loader_fps",
         "value": best,
         "unit": "frames/s",
         "per_worker_fps": results,

@@ -155,9 +155,9 @@ class YCBDataset:
             mesh_ctrs[i] = get_ctr(int(cid), ds_type="ycb")
 
         h, w = depth_m.shape
-        back_rgb = np.zeros((h, w, 3), np.float32)
+        back_rgb = np.zeros((h, w, 3), np.uint8)
         back_depth = np.zeros((h, w), np.float32)
-        back_label = np.zeros((h, w), np.int32)
+        back_label = np.zeros((h, w), np.uint8)
         if is_syn and self.real_lst:
             real_item = self.real_lst[self.rng.randint(len(self.real_lst))]
             try:
@@ -166,20 +166,24 @@ class YCBDataset:
                 pass
             else:
                 b_scale = float(b_meta["factor_depth"].ravel()[0])
-                back_rgb = b_rgb[..., :3].astype(np.float32)
+                back_rgb = b_rgb[..., :3]
                 back_depth = b_depth.astype(np.float32) / b_scale
-                back_label = b_label.astype(np.int32)
+                back_label = b_label
 
+        # Images/labels ship uint8 (the device builder promotes): the
+        # fp32 versions tripled the collate+IPC bytes and halved loader
+        # throughput (benchmarks/loader_bench.py --raw).
         return {
-            "rgb": rgb[..., :3].astype(np.float32),
+            "rgb": np.ascontiguousarray(rgb[..., :3], np.uint8),
             "depth": depth_m,
-            "label_map": labels.astype(np.int32),
+            "label_map": labels.astype(np.uint8),
             "cam_k": np.asarray(k, np.float32),
             "cls_ids": cls_ids, "rts": rts,
             "mesh_kps": mesh_kps, "mesh_ctrs": mesh_ctrs,
             "is_syn": np.bool_(is_syn),
-            "back_rgb": back_rgb, "back_depth": back_depth,
-            "back_label": back_label,
+            "back_rgb": np.ascontiguousarray(back_rgb, np.uint8),
+            "back_depth": back_depth,
+            "back_label": np.asarray(back_label, np.uint8),
         }
 
     def _paste_real_background(self, rgb, labels, depth):
