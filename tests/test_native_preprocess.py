@@ -88,3 +88,32 @@ class TestNormals:
         auto = normals_from_depth_map(d, self.K)
         native = natp.normals_from_depth_map_native(d, self.K)
         np.testing.assert_array_equal(auto, native)
+
+
+class TestEdgeCases:
+    def test_all_invalid_depth(self):
+        d = np.zeros((60, 80), np.float32)
+        ref = dc.fill_in_multiscale(d.copy())
+        out = natp.fill_in_multiscale_native(d.copy())
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+        K = np.array([[60.0, 0, 40], [0, 60, 30], [0, 0, 1]], np.float32)
+        n = natp.normals_from_depth_map_native(d, K)
+        assert (n == 0).all()
+
+    def test_single_valid_pixel(self):
+        d = np.zeros((60, 80), np.float32)
+        d[30, 40] = 1.5
+        ref = dc.fill_in_multiscale(d.copy())
+        out = natp.fill_in_multiscale_native(d.copy())
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_constant_depth_plane(self):
+        d = np.full((60, 80), 1.0, np.float32)
+        ref = dc.fill_in_multiscale(d.copy())
+        out = natp.fill_in_multiscale_native(d.copy())
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+        K = np.array([[60.0, 0, 40], [0, 60, 30], [0, 0, 1]], np.float32)
+        n_nat = natp.normals_from_depth_map_native(d, K)
+        from pvn3d_tpu.data.normals import normals_from_depth_map
+        n_ref = normals_from_depth_map(d, K, impl="numpy")
+        np.testing.assert_allclose(n_nat, n_ref, atol=2e-3)
