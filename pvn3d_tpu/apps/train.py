@@ -32,8 +32,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="0 = full budget (25 epochs x 4000 iters)")
     p.add_argument("--no_fill_depth", action="store_true")
     p.add_argument("--device_preprocess", action="store_true",
-                   help="YCB: ship raw decoded frames and run augmentation"
-                        " + depth fill + normals + sampling + GT targets "
+                   help="ship raw decoded frames and run augmentation + "
+                        "depth fill + normals + sampling + GT targets "
                         "inside the jitted train step (the host only "
                         "decodes PNGs; see data/device_frame.py)")
     p.add_argument("--remat", action="store_true",
@@ -160,8 +160,6 @@ def main(argv=None):
           f"devices: {jax.device_count()}  batch: {batch_size}", flush=True)
     state = jax.device_put(state, replicated(mesh))
 
-    if args.device_preprocess and args.dataset != "ycb":
-        raise SystemExit("--device_preprocess training is YCB-only for now")
     train_loader = DataLoader(
         make_dataset_factory(args, "train"), batch_size,
         num_workers=args.workers, seed=args.seed, steps=max_steps)
@@ -185,7 +183,9 @@ def main(argv=None):
             batch = build_train_batch_device(
                 raw, b_rng, n_sample=cfg.model.n_sample_points,
                 n_classes=cfg.model.n_classes,
-                fill=not args.no_fill_depth, dataset=args.dataset)
+                # LineMOD never fills depth (linemod_dataset.py get_item)
+                fill=args.dataset == "ycb" and not args.no_fill_depth,
+                dataset=args.dataset)
             return _base(state, batch, rng)
 
         train_step = train_step_raw

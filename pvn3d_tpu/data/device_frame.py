@@ -123,23 +123,30 @@ def build_targets_device(cld: jnp.ndarray, labels: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_sample", "n_classes", "cam_scale", "fill", "dataset", "augment"))
+    "n_sample", "n_classes", "cam_scale", "fill", "dataset", "augment",
+    "bgr_flip"))
 def build_train_frame_device(rgb, depth, label_map, cam_k, cls_ids, rts,
                              mesh_kps, mesh_ctrs, is_syn, back_rgb,
                              back_depth, back_label, key,
+                             do_jitter=True,
                              n_sample: int = 12288, n_classes: int = 22,
                              cam_scale: float = 1.0, fill: bool = True,
-                             dataset: str = "ycb", augment: bool = True):
+                             dataset: str = "ycb", augment: bool = True,
+                             bgr_flip: bool = False):
     """One TRAIN frame from raw arrays, augmentation included, on device.
 
-    Mirrors the reference train get_item (ycb_dataset.py:190-306 tail +
-    the augmentation head :109-177) with the jnp twins: color jitter on
-    every frame, the synthetic-frame noise stack + real-background paste
-    where ``is_syn`` (traced bool — both branches compute, select), depth
-    fill, normals, uniform point subsample, GT offset targets.
+    Mirrors the reference train get_item tails (ycb_dataset.py:190-306 +
+    augmentation head :109-177; linemod_dataset.py:222-260) with the jnp
+    twins: color jitter where ``do_jitter`` (YCB: every train frame;
+    LineMOD: real frames only), the synthetic-frame noise stack +
+    real-background paste where ``is_syn`` (both traced bools — the
+    branches compute and select), the LineMOD BGR flip between jitter and
+    noise (``bgr_flip``, linemod_dataset.py:235), depth fill, normals,
+    uniform point subsample, GT offset targets.
 
-    rgb/back_rgb: (H, W, 3) 0-255 float; depth/back_depth raw units.
-    Returns the same sample dict as the host build (data/frame.py).
+    rgb/back_rgb: (H, W, 3) 0-255 float or uint8, decoded channel order;
+    depth/back_depth in ``cam_scale`` units.  Returns the same sample
+    dict as the host build (data/frame.py).
     """
     from pvn3d_tpu.ops.augment_device import (add_real_back_jnp,
                                               color_jitter_jnp,
@@ -151,7 +158,11 @@ def build_train_frame_device(rgb, depth, label_map, cam_k, cls_ids, rts,
                 else rgb_add_noise_lm_jnp)
 
     if augment:
-        rgb = color_jitter_jnp(keys[0], rgb)
+        rgb = jnp.where(do_jitter, color_jitter_jnp(keys[0], rgb),
+                        rgb.astype(jnp.float32))
+        if bgr_flip:
+            rgb = rgb[..., ::-1]
+            back_rgb = back_rgb[..., ::-1]
         syn_rgb = noise_fn(keys[1], rgb)
         syn_rgb, syn_depth = add_real_back_jnp(
             syn_rgb, label_map, depth, back_rgb, back_depth, back_label)
@@ -159,6 +170,8 @@ def build_train_frame_device(rgb, depth, label_map, cam_k, cls_ids, rts,
         syn_rgb = jnp.where(again, noise_fn(keys[3], syn_rgb), syn_rgb)
         rgb = jnp.where(is_syn, syn_rgb, rgb)
         depth = jnp.where(is_syn, syn_depth, depth)
+    elif bgr_flip:
+        rgb = rgb[..., ::-1]
 
     built = build_inference_frame_device(
         rgb, depth, cam_k, keys[4], n_sample=n_sample,
@@ -182,8 +195,8 @@ def build_train_batch_device(raw: dict, key, n_sample: int, n_classes: int,
     """Batched raw-train builder: dict of (B, ...) arrays -> train batch.
 
     ``raw`` carries rgb, depth, label_map, cam_k, cls_ids, rts, mesh_kps,
-    mesh_ctrs, is_syn, back_rgb, back_depth, back_label (see
-    YCBDataset raw-train mode).
+    mesh_ctrs, is_syn, do_jitter, back_rgb, back_depth, back_label (see
+    the datasets' raw-train modes).
     """
     b = raw["rgb"].shape[0]
     keys = jax.random.split(key, b)
@@ -192,8 +205,11 @@ def build_train_batch_device(raw: dict, key, n_sample: int, n_classes: int,
             r["rgb"], r["depth"], r["label_map"], r["cam_k"], r["cls_ids"],
             r["rts"], r["mesh_kps"], r["mesh_ctrs"], r["is_syn"],
             r["back_rgb"], r["back_depth"], r["back_label"], ky,
+            do_jitter=r.get("do_jitter", True),
             n_sample=n_sample, n_classes=n_classes, cam_scale=cam_scale,
-            fill=fill, dataset=dataset, augment=augment)
+            fill=fill, dataset=dataset, augment=augment,
+            bgr_flip=dataset == "linemod")
     )({k: raw[k] for k in ("rgb", "depth", "label_map", "cam_k", "cls_ids",
                            "rts", "mesh_kps", "mesh_ctrs", "is_syn",
-                           "back_rgb", "back_depth", "back_label")}, keys)
+                           "back_rgb", "back_depth", "back_label",
+                           "do_jitter") if k in raw}, keys)

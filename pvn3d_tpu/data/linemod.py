@@ -118,6 +118,17 @@ class LineMODDataset:
             return None
         if labels.ndim > 2:
             labels = labels[..., 0]
+
+        if self.spec.device_preprocess and self.add_noise:
+            # Raw-train mode (see YCBDataset._raw_train_item): host only
+            # decodes/composes the item; jitter (real frames), the BGR
+            # flip, the render noise stack + background paste, normals,
+            # sampling and GT targets run on device
+            # (data/device_frame.py::build_train_batch_device,
+            # bgr_flip=True for linemod).
+            return self._raw_train_item(rgb, depth, labels, k, rt,
+                                        cam_scale, rnd_typ)
+
         if self.add_noise and rnd_typ == "real":
             rgb = augment.color_jitter(self.rng, rgb.astype(np.uint8))
         # BGR order, matching the reference's ::-1 flip (:235).
@@ -139,6 +150,63 @@ class LineMODDataset:
         instances = [(1, rt, kps, ctr)]
         return build_frame(rgb, depth / cam_scale, labels, k, 1.0,
                            instances, self.spec, self.rng)
+
+    def _raw_train_item(self, rgb, depth, labels, k, rt, cam_scale,
+                        rnd_typ: str):
+        """Raw arrays + instance metadata for the on-device train builder.
+        Depth ships metric; rgb ships as-decoded (RGB order) — the device
+        builder applies the BGR flip after the jitter, matching the host
+        order (linemod_dataset.py:233-235)."""
+        depth_m = depth.astype(np.float32) / cam_scale
+        if int(np.count_nonzero(depth_m > 1e-6)) < self.spec.n_min_points:
+            return None
+        ni, nk = self.spec.max_instances, self.spec.n_keypoints
+        kp_type = ("farthest" if nk == 8 else f"farthest{nk}")
+        cls_ids = np.zeros((ni,), np.int32)
+        rts = np.zeros((ni, 3, 4), np.float32)
+        mesh_kps = np.zeros((ni, nk, 3), np.float32)
+        mesh_ctrs = np.zeros((ni, 3), np.float32)
+        cls_ids[0] = 1
+        rts[0] = rt
+        mesh_kps[0] = get_kps(self.cls_type, kp_type=kp_type,
+                              ds_type="linemod")
+        mesh_ctrs[0] = get_ctr(self.cls_type, ds_type="linemod")
+
+        h, w = depth_m.shape
+        back_rgb = np.zeros((h, w, 3), np.uint8)
+        back_depth = np.zeros((h, w), np.float32)
+        back_label = np.zeros((h, w), np.uint8)
+        if rnd_typ == "render" and self.real_lst:
+            real_item = self.real_lst[self.rng.randint(len(self.real_lst))]
+            try:
+                b_depth = _load_image(os.path.join(
+                    self.cls_root, "depth", f"{real_item}.png"))
+                b_label = _load_image(os.path.join(
+                    self.cls_root, "mask", f"{real_item}.png"))
+                b_rgb = _load_image(os.path.join(
+                    self.cls_root, "rgb", f"{real_item}.png"))[..., :3]
+            except (OSError, ValueError):
+                pass
+            else:
+                if b_label.ndim > 2:
+                    b_label = b_label[..., 0]
+                back_rgb = np.ascontiguousarray(b_rgb, np.uint8)
+                # real LineMOD depths are mm (cam_scale 1000)
+                back_depth = b_depth.astype(np.float32) / 1000.0
+                back_label = np.asarray(b_label > 0, np.uint8)
+
+        return {
+            "rgb": np.ascontiguousarray(rgb[..., :3], np.uint8),
+            "depth": depth_m,
+            "label_map": labels.astype(np.uint8),
+            "cam_k": np.asarray(k, np.float32),
+            "cls_ids": cls_ids, "rts": rts,
+            "mesh_kps": mesh_kps, "mesh_ctrs": mesh_ctrs,
+            "is_syn": np.bool_(rnd_typ == "render"),
+            "do_jitter": np.bool_(rnd_typ == "real"),
+            "back_rgb": back_rgb, "back_depth": back_depth,
+            "back_label": back_label,
+        }
 
     def _paste_real_background(self, rgb, labels, depth):
         real_item = self.real_lst[self.rng.randint(len(self.real_lst))]

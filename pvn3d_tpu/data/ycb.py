@@ -181,6 +181,7 @@ class YCBDataset:
             "cls_ids": cls_ids, "rts": rts,
             "mesh_kps": mesh_kps, "mesh_ctrs": mesh_ctrs,
             "is_syn": np.bool_(is_syn),
+            "do_jitter": np.bool_(True),   # YCB jitters every train frame
             "back_rgb": np.ascontiguousarray(back_rgb, np.uint8),
             "back_depth": back_depth,
             "back_label": np.asarray(back_label, np.uint8),
