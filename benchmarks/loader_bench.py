@@ -76,14 +76,16 @@ def main(argv=None):
             YCBDataset, root, split="train", file_list=file_list,
             spec=FrameSpec(device_preprocess=args.raw))
     else:
+        from pvn3d_tpu.data.frame import FrameSpec
         from pvn3d_tpu.data.linemod import LineMODDataset
         root = args.root
         if not root:
             from pvn3d_tpu.tools.fake_data import make_fake_linemod
             tmp = tempfile.TemporaryDirectory()
             root = make_fake_linemod(tmp.name, n_frames=8)
-        factory = functools.partial(LineMODDataset, root,
-                                    cls_type=args.cls, split="train")
+        factory = functools.partial(
+            LineMODDataset, root, cls_type=args.cls, split="train",
+            spec=FrameSpec(device_preprocess=args.raw))
 
     results = {}
     for w in args.workers:
