@@ -119,8 +119,10 @@ def build_frame(rgb: np.ndarray, depth: np.ndarray, label_map: np.ndarray,
             return None
         targets = build_targets(np.zeros((0, 3), np.float32),
                                 np.zeros((0,), np.int32), instances, spec)
+        # Images/labels ship uint8 (raw test pixels are integers; every
+        # consumer promotes) — 4x less collate/IPC traffic.
         sample = {
-            "rgb": rgb.astype(np.float32),
+            "rgb": np.ascontiguousarray(rgb, np.uint8),
             "depth": depth.astype(np.float32),   # metric (already /scale)
             "cam_k": np.asarray(k, np.float32),
             "label_map": label_map.astype(np.int32),
