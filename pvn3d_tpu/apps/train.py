@@ -48,6 +48,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--file_list", default="",
                    help="YCB: override the vendored split list (custom "
                         "subsets / smoke runs)")
+    p.add_argument("--val_packed_dir", default="",
+                   help="validate from npz shards "
+                        "(tools/preprocess_testset) instead of rebuilding "
+                        "test frames per eval — the reference trains "
+                        "against its preprocessed testset the same way "
+                        "(train_ycb_pvn3d.py:419-423)")
     p.add_argument("--platform", default="",
                    help="force a jax backend (e.g. 'cpu') — the env var "
                         "alone cannot override this image's pre-registered "
@@ -166,12 +172,27 @@ def main(argv=None):
     # Validation always consumes host-built frames (no augmentation, so
     # there is nothing to move on device that the eval raw path doesn't
     # already cover).
-    import copy
-    val_args = copy.copy(args)
-    val_args.device_preprocess = False
-    val_loader = DataLoader(
-        make_dataset_factory(val_args, "test"), batch_size,
-        num_workers=max(args.workers // 2, 0), seed=args.seed)
+    if args.val_packed_dir:
+        from pvn3d_tpu.tools.preprocess_testset import iter_packed_batches
+        probe = next(iter_packed_batches(args.val_packed_dir, batch_size),
+                     None)
+        if probe is None or "kp_targ_ofst" not in probe:
+            raise SystemExit(
+                "--val_packed_dir shards lack the offset targets the val "
+                "losses need — pack with preprocess_testset --train_targets")
+
+        class _PackedVal:
+            def __iter__(self):
+                return iter_packed_batches(args.val_packed_dir, batch_size)
+
+        val_loader = _PackedVal()
+    else:
+        import copy
+        val_args = copy.copy(args)
+        val_args.device_preprocess = False
+        val_loader = DataLoader(
+            make_dataset_factory(val_args, "test"), batch_size,
+            num_workers=max(args.workers // 2, 0), seed=args.seed)
 
     train_step = make_train_step(cfg, model, tx)
     if args.device_preprocess:
