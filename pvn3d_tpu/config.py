@@ -140,6 +140,11 @@ class PointNet2Config:
     # capacity 2 -> neighbor-set recall 0.9986/0.9998 (scales 1/2),
     # >= the approx path at recall_target 0.99; capacity 3 -> 0.9987/1.0.
     query_capacity: int = 2
+    # Eval-only SA restructure: compute the first SharedMLP layer's
+    # feature term per source point BEFORE the neighborhood gather
+    # (models/pointnet2.py::SetAbstractionMSG.precompute_first).  Exact
+    # up to one f32 add reassociation; equivalence-tested.
+    sa_precompute_first: bool = True
     # Distance-matrix dtype for ball query: "f32" (reference parity) or
     # "bf16" (halved MXU/HBM cost).  MEASURED on the synthetic e2e world
     # with exact-trained weights: eval under bf16 collapsed seg 0.854 ->

@@ -102,22 +102,58 @@ class SharedMLP(nn.Module):
     etw_pytorch_utils/pytorch_utils.py:25-50) in channels-last layout: a
     Dense over the last axis of a (..., C) tensor is the same contraction,
     and XLA maps it straight onto the MXU.
+
+    ``precompute_first`` / ``first_precomputed`` support the gather-after-
+    matmul SA evaluation path: the first layer's input is a concat
+    [xyz-ish part | gathered features], so Dense_0 splits as
+    x_a @ K[:a] + feat @ K[a:]; the feature term can be computed per
+    source point BEFORE the neighborhood gather (N rows instead of
+    np*ns) and gathered in W_0 channels.  Exact up to one f32 add
+    reassociation.
     """
     widths: Sequence[int]
     train: bool = True
     use_bn: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, bn_momentum=0.1):
-        for w in self.widths:
-            x = nn.Dense(w, use_bias=not self.use_bn, dtype=self.dtype,
-                         param_dtype=jnp.float32)(x)
-            if self.use_bn:
-                x = BatchNorm(use_running_average=not self.train,
-                              dtype=self.dtype)(x, bn_momentum)
-            x = nn.relu(x)
+    def setup(self):
+        self.denses = [nn.Dense(w, use_bias=not self.use_bn,
+                                dtype=self.dtype, param_dtype=jnp.float32,
+                                name=f"Dense_{i}")
+                       for i, w in enumerate(self.widths)]
+        if self.use_bn:
+            self.bns = [BatchNorm(use_running_average=not self.train,
+                                  dtype=self.dtype, name=f"BatchNorm_{i}")
+                        for i in range(len(self.widths))]
+
+    def _tail(self, x, i, bn_momentum):
+        if self.use_bn:
+            x = self.bns[i](x, bn_momentum)
+        return nn.relu(x)
+
+    def __call__(self, x, bn_momentum=0.1, first_precomputed=None):
+        """``first_precomputed``: optional (..., widths[0]) tensor holding
+        ``feat_part @ K0[a:]`` (from :meth:`precompute_first`); ``x`` then
+        carries only the leading ``a`` input channels of layer 0."""
+        for i in range(len(self.widths)):
+            if i == 0 and first_precomputed is not None:
+                k0 = self.denses[0].variables["params"]["kernel"]
+                a = x.shape[-1]
+                y = x.astype(self.dtype) @ k0[:a].astype(self.dtype)
+                if not self.use_bn:
+                    b0 = self.denses[0].variables["params"]["bias"]
+                    y = y + b0.astype(self.dtype)
+                x = y + first_precomputed.astype(self.dtype)
+            else:
+                x = self.denses[i](x)
+            x = self._tail(x, i, bn_momentum)
         return x
+
+    def precompute_first(self, feats, n_lead: int):
+        """``feats @ K0[n_lead:]`` — the trailing-channel part of layer 0
+        (params must already exist; init always runs the standard path)."""
+        k0 = self.denses[0].variables["params"]["kernel"]
+        return feats.astype(self.dtype) @ k0[n_lead:].astype(self.dtype)
 
 
 def _resize_matrix(src: int, dst: int, align_corners: bool) -> np.ndarray:

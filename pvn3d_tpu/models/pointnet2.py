@@ -52,6 +52,13 @@ class SetAbstractionMSG(nn.Module):
     # tests/test_ops.py::TestFPSPrefix and the model-level equivalence
     # test in tests/test_models.py.
     fps_prefix: bool = False
+    # Eval-only gather-after-matmul: the first SharedMLP layer's feature
+    # term (feat @ K0[3:]) is computed per SOURCE point before grouping —
+    # N rows instead of np*ns pairs, and the gather moves widths[0]
+    # channels instead of C.  Exact up to one f32 add reassociation
+    # (layers.py::SharedMLP docstring); train mode keeps the standard
+    # path (grouped batch statistics feed the BN).
+    precompute_first: bool = True
 
     @nn.compact
     def __call__(self, xyz, features, bn_momentum=0.1):
@@ -71,16 +78,27 @@ class SetAbstractionMSG(nn.Module):
                                      capacity=self.query_capacity)
         outs = []
         for i, (g_idx, widths) in enumerate(zip(scale_idx, self.level.mlps)):
+            mlp = SharedMLP(widths, train=self.train, dtype=self.dtype,
+                            name=f"mlp{i}")
             grouped_xyz = group_points(xyz, g_idx) - new_xyz[:, :, None, :]
-            if features is not None:
-                grouped_feat = group_points(features, g_idx)
-                grouped = (jnp.concatenate([grouped_xyz, grouped_feat], -1)
-                           if self.use_xyz else grouped_feat)
+            fast = (self.precompute_first and not self.train
+                    and not self.is_initializing()
+                    and self.use_xyz and features is not None)
+            if fast:
+                pre = mlp.precompute_first(features, n_lead=3)  # (B, N, W0)
+                grouped_pre = group_points(pre, g_idx)
+                feat = mlp(grouped_xyz.astype(self.dtype), bn_momentum,
+                           first_precomputed=grouped_pre)
             else:
-                grouped = grouped_xyz
-            grouped = grouped.astype(self.dtype)  # (B, np, ns, 3+C)
-            feat = SharedMLP(widths, train=self.train, dtype=self.dtype,
-                             name=f"mlp{i}")(grouped, bn_momentum)
+                if features is not None:
+                    grouped_feat = group_points(features, g_idx)
+                    grouped = (jnp.concatenate(
+                        [grouped_xyz, grouped_feat], -1)
+                        if self.use_xyz else grouped_feat)
+                else:
+                    grouped = grouped_xyz
+                grouped = grouped.astype(self.dtype)  # (B, np, ns, 3+C)
+                feat = mlp(grouped, bn_momentum)
             outs.append(jnp.max(feat, axis=2))    # (B, np, width)
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
@@ -140,6 +158,7 @@ class PointNet2MSG(nn.Module):
                 query_compute=self.cfg.query_compute,
                 query_recall=self.cfg.query_recall,
                 query_capacity=self.cfg.query_capacity,
+                precompute_first=self.cfg.sa_precompute_first,
                 fps_groups=self.cfg.fps_groups,
                 fps_slab_sorted=self.cfg.fps_groups > 1 and li > 0,
                 fps_prefix=(self.cfg.fps_prefix

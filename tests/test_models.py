@@ -246,3 +246,41 @@ class TestPallasQueryModel:
             outs[mode] = np.asarray(m.apply(vars_, pc))
         np.testing.assert_allclose(outs["pallas"], outs["exact"],
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestSAPrecomputeFirst:
+    def test_eval_forward_matches_standard_path(self):
+        """Gather-after-matmul SA evaluation (sa_precompute_first) vs the
+        standard grouped path: exact up to one f32 add reassociation."""
+        from pvn3d_tpu.models.pointnet2 import PointNet2MSG
+        import dataclasses
+        cfg = small_config().pointnet2
+        rng = np.random.RandomState(3)
+        pc = jnp.asarray(rng.uniform(-1, 1, (2, 128, 6)).astype(np.float32))
+        outs = {}
+        for flag in (False, True):
+            c = dataclasses.replace(cfg, sa_precompute_first=flag,
+                                    query_mode="exact")
+            m = PointNet2MSG(cfg=c, train=False)
+            vars_ = m.init(jax.random.PRNGKey(0), pc)
+            outs[flag] = np.asarray(m.apply(vars_, pc))
+        np.testing.assert_allclose(outs[True], outs[False],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_train_mode_ignores_flag(self):
+        """Training keeps the standard path (grouped batch stats feed BN):
+        the flag must not change train-mode outputs at all."""
+        from pvn3d_tpu.models.pointnet2 import PointNet2MSG
+        import dataclasses
+        cfg = small_config().pointnet2
+        rng = np.random.RandomState(4)
+        pc = jnp.asarray(rng.uniform(-1, 1, (2, 128, 6)).astype(np.float32))
+        outs = {}
+        for flag in (False, True):
+            c = dataclasses.replace(cfg, sa_precompute_first=flag,
+                                    query_mode="exact")
+            m = PointNet2MSG(cfg=c, train=True)
+            vars_ = m.init(jax.random.PRNGKey(0), pc)
+            out, _ = m.apply(vars_, pc, mutable=["batch_stats"])
+            outs[flag] = np.asarray(out)
+        np.testing.assert_array_equal(outs[True], outs[False])
