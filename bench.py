@@ -58,6 +58,20 @@ def main():
                          "(parameter-identical; models/pspnet.py)")
     args = ap.parse_args()
 
+    # Fail fast (instead of hanging) when the TPU tunnel is unreachable —
+    # backend init blocks indefinitely on a dead tunnel otherwise.
+    import threading
+    probe = []
+    th = threading.Thread(target=lambda: probe.append(jax.devices()),
+                          daemon=True)
+    th.start()
+    th.join(300)
+    if not probe:
+        raise SystemExit(
+            "jax backend unreachable after 300s (TPU tunnel down?) — "
+            "no measurement taken")
+    print(f"devices: {probe[0]}", flush=True)
+
     cfg = Config.ycb()
     if args.query_mode:
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
