@@ -1,0 +1,111 @@
+"""Train-step throughput: host-built batches vs the raw-train device path.
+
+Times the jitted train step over N steps (dispatches pipelined, one sync
+at the end) for (a) pre-built batches (host did augment/fill/normals/
+sampling) and (b) raw batches with build_train_batch_device fused into
+the step (apps/train --device_preprocess).  The delta is the on-device
+preprocessing cost; the host-side delta is measured by
+loader_bench.py [--raw].
+
+  python -m benchmarks.train_bench [--batch 4] [--steps 20] [--remat]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+from pvn3d_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
+from pvn3d_tpu.config import Config, replace
+from pvn3d_tpu.data.device_frame import build_train_batch_device
+from pvn3d_tpu.data.synthetic import synthetic_batch
+from pvn3d_tpu.train.state import create_train_state
+from pvn3d_tpu.train.step import make_train_step
+
+
+def synth_raw_batch(cfg, b: int, seed: int = 0):
+    mc = cfg.model
+    h, w = mc.image_height, mc.image_width
+    rng = np.random.RandomState(seed)
+    depth = (0.8 + 0.4 * rng.rand(b, h, w)).astype(np.float32)
+    depth[:, ::9, ::7] = 0.0
+    return {
+        "rgb": rng.randint(0, 256, (b, h, w, 3)).astype(np.uint8),
+        "depth": depth,
+        "label_map": rng.randint(0, 4, (b, h, w)).astype(np.uint8),
+        "cam_k": np.tile(np.array([[1066.8, 0, 313.0], [0, 1067.5, 241.3],
+                                   [0, 0, 1]], np.float32), (b, 1, 1)),
+        "cls_ids": np.tile(
+            np.array([1, 2, 3] + [0] * 9, np.int32), (b, 1)),
+        "rts": np.tile(np.eye(3, 4, dtype=np.float32), (b, 12, 1, 1)),
+        "mesh_kps": rng.rand(b, 12, mc.n_keypoints, 3).astype(np.float32),
+        "mesh_ctrs": rng.rand(b, 12, 3).astype(np.float32),
+        "is_syn": (np.arange(b) % 2 == 0),
+        "do_jitter": np.ones((b,), bool),
+        "back_rgb": rng.randint(0, 256, (b, h, w, 3)).astype(np.uint8),
+        "back_depth": (0.8 + 0.4 * rng.rand(b, h, w)).astype(np.float32),
+        "back_label": rng.randint(0, 2, (b, h, w)).astype(np.uint8),
+    }
+
+
+def time_steps(step, state, batch, rng, n):
+    state, _ = step(state, batch, rng)           # compile + warm
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+    return (time.perf_counter() - t0) / n, state
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--remat", action="store_true")
+    args = ap.parse_args()
+
+    cfg = Config.ycb()
+    if args.remat:
+        cfg = replace(cfg, train=replace(cfg.train, remat=True))
+    mc = cfg.model
+    built = synthetic_batch(cfg, batch_size=args.batch)
+    state, model, tx = create_train_state(cfg, jax.random.PRNGKey(0), built)
+    base = make_train_step(cfg, model, tx)
+    rng = jax.random.PRNGKey(1)
+
+    step_built = jax.jit(base, donate_argnums=(0,))
+    dt_built, state2 = time_steps(step_built, state, built, rng, args.steps)
+
+    raw = synth_raw_batch(cfg, args.batch)
+
+    def step_raw(state, raw_b, rng):
+        b_rng = jax.random.fold_in(rng, state.step)
+        batch = build_train_batch_device(
+            raw_b, b_rng, n_sample=mc.n_sample_points,
+            n_classes=mc.n_classes, dataset="ycb")
+        return base(state, batch, rng)
+
+    dt_raw, _ = time_steps(jax.jit(step_raw, donate_argnums=(0,)),
+                           state2, raw, rng, args.steps)
+
+    print(json.dumps({
+        "metric": "train_frames_per_s_per_chip",
+        "value": round(args.batch / dt_built, 2),
+        "unit": "frames/s",
+        "built_ms_per_step": round(dt_built * 1e3, 1),
+        "raw_ms_per_step": round(dt_raw * 1e3, 1),
+        "raw_frames_per_s": round(args.batch / dt_raw, 2),
+        "batch": args.batch, "remat": args.remat,
+        "note": "raw = device-side augment+fill+normals+sampling+targets "
+                "fused into the step (host decodes PNGs only)",
+    }))
+
+
+if __name__ == "__main__":
+    main()
