@@ -68,9 +68,15 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny config (CPU smoke of the harness itself)")
     args = ap.parse_args()
 
-    cfg = Config.ycb()
+    if args.tiny:
+        import __graft_entry__ as graft
+        cfg = graft._tiny_config()
+    else:
+        cfg = Config.ycb()
     if args.remat:
         cfg = replace(cfg, train=replace(cfg.train, remat=True))
     mc = cfg.model
