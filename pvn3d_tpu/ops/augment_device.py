@@ -188,12 +188,14 @@ def rgb_add_noise_ycb_jnp(key, img):
     (p=0.2 each), gaussian noise, maybe extra sigma-7 noise (p=0.2)."""
     keys = jax.random.split(key, 10)
     img = hsv_gain_jnp(keys[0], img, (1.25, 1.45), (1.15, 1.35))
-    img = jnp.where(jax.random.uniform(keys[1]) > 0.8,
-                    sharpen_jnp(keys[2], img), img)
-    img = jnp.where(jax.random.uniform(keys[3]) > 0.8,
-                    motion_blur_jnp(keys[4], img), img)
-    img = jnp.where(jax.random.uniform(keys[5]) > 0.8,
-                    gaussian_blur_jnp(keys[6], img), img)
+    # The host stack passes uint8 between ops — clamp (without the
+    # integer rounding) so overshoot doesn't leak into the next op.
+    img = jnp.clip(jnp.where(jax.random.uniform(keys[1]) > 0.8,
+                             sharpen_jnp(keys[2], img), img), 0, 255)
+    img = jnp.clip(jnp.where(jax.random.uniform(keys[3]) > 0.8,
+                             motion_blur_jnp(keys[4], img), img), 0, 255)
+    img = jnp.clip(jnp.where(jax.random.uniform(keys[5]) > 0.8,
+                             gaussian_blur_jnp(keys[6], img), img), 0, 255)
     sigma = jnp.where(jax.random.uniform(keys[7]) > 0.2,
                       jax.random.randint(keys[8], (), 0, 15),
                       jax.random.randint(keys[8], (), 0, 25))
