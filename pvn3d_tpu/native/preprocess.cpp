@@ -441,6 +441,14 @@ void pvn3d_fill_multiscale(const float* depth, int32_t h, int32_t w,
 
 // normals_from_depth_map (normals.py:67-111): organized-grid normals.
 // k_mat is the row-major 3x3 intrinsic matrix; out is (h, w, 3) float32.
+//
+// Caveat (fuzz-measured): on numerically degenerate neighborhoods —
+// near-exact planes where the tangent cross product sits at f32 rounding
+// level — the f64-window box blur here and numpy's f32 cumsum blur land
+// on different sides of the 1e-12 degeneracy threshold for a small
+// fraction of pixels (~0.1%), giving a zero normal in one path and a
+// rounding-chaos direction in the other.  Both are noise; real depth
+// frames (sensor noise >> 1e-6) don't exhibit it.
 void pvn3d_normals_from_depth(const float* depth, int32_t h, int32_t w,
                               const float* k_mat, float cam_scale,
                               int32_t smooth, float depth_jump, float* out) {
