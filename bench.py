@@ -52,7 +52,8 @@ def main():
                     help="override PointNet2Config.query_mode "
                          "(exact/approx/pallas) for A/B runs")
     ap.add_argument("--resize_method", default="",
-                    help="override CNNConfig.resize_method (matmul/lerp)")
+                    help="override CNNConfig.resize_method "
+                         "(matmul/lerp/matmul_packed)")
     ap.add_argument("--sparse_cnn", action="store_true",
                     help="evaluate the CNN tail at the sampled pixels only "
                          "(parameter-identical; models/pspnet.py)")

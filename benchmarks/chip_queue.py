@@ -8,9 +8,13 @@ chip is reachable:
   2. fused 3-NN kernel ladder        (fp_bench: fused vs XLA)
   3. pipeline A/Bs                   (bench.py: default / --query_mode
                                       pallas / --resize_method lerp /
+                                      --resize_method matmul_packed /
                                       --sparse_cnn)
-  4. train-step throughput           (train_bench: built vs raw)
-  5. stage breakdown                 (stage_breakdown)
+  4. sensor-to-pose raw pipeline     (raw_pipeline_bench — includes the
+                                      min/max-network medians in the
+                                      on-chip fill)
+  5. train-step throughput           (train_bench: built vs raw)
+  6. stage breakdown                 (stage_breakdown)
 
   python -m benchmarks.chip_queue [--out /tmp/chip_report.json]
 
@@ -36,7 +40,11 @@ SECTIONS = [
     ("bench_default", [sys.executable, "bench.py"]),
     ("bench_pallas", [sys.executable, "bench.py", "--query_mode", "pallas"]),
     ("bench_lerp", [sys.executable, "bench.py", "--resize_method", "lerp"]),
+    ("bench_packed", [sys.executable, "bench.py",
+                      "--resize_method", "matmul_packed"]),
     ("bench_sparse_cnn", [sys.executable, "bench.py", "--sparse_cnn"]),
+    ("raw_pipeline", [sys.executable, "-m",
+                      "benchmarks.raw_pipeline_bench"]),
     ("train_steps", [sys.executable, "-m", "benchmarks.train_bench",
                      "--batch", "4", "--steps", "20"]),
     ("stage_breakdown", [sys.executable, "-m",

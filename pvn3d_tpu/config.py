@@ -145,6 +145,14 @@ class PointNet2Config:
     # (models/pointnet2.py::SetAbstractionMSG.precompute_first).  Exact
     # up to one f32 add reassociation; equivalence-tested.
     sa_precompute_first: bool = True
+    # Eval-only FP restructure: IDW interpolation commutes with the
+    # pointwise first-layer matmul, so Dense_0 of each FP SharedMLP runs
+    # on the m known rows before the 3-NN blend instead of the n
+    # interpolated rows (6x fewer rows at the finest level), and the
+    # blend moves widths[0] channels instead of C_known
+    # (models/pointnet2.py::FeaturePropagation.precompute_first).  Exact
+    # up to f32 reassociation; equivalence-tested.
+    fp_precompute_first: bool = True
     # Distance-matrix dtype for ball query: "f32" (reference parity) or
     # "bf16" (halved MXU/HBM cost).  MEASURED on the synthetic e2e world
     # with exact-trained weights: eval under bf16 collapsed seg 0.854 ->
@@ -185,8 +193,10 @@ class CNNConfig:
     dropout_psp: float = 0.3
     dropout_up: float = 0.15
     # Bilinear-resize realization in the PSP pyramid/upsample stages:
-    # "matmul" (static-weight MXU matmuls) or "lerp" (2-tap gather+lerp,
-    # O(out) memory traffic).  Bit-equivalent results
+    # "matmul" (static-weight MXU matmuls), "lerp" (2-tap gather+lerp,
+    # O(out) memory traffic) or "matmul_packed" (matmul with spatial
+    # pairs packed into the 128-wide lane dim — the upsample stages run
+    # at C=64, half a lane tile).  Bit-identical results
     # (models/layers.py::resize_bilinear); a perf A/B knob.
     resize_method: str = "matmul"
 

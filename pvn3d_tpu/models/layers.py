@@ -131,15 +131,21 @@ class SharedMLP(nn.Module):
             x = self.bns[i](x, bn_momentum)
         return nn.relu(x)
 
-    def __call__(self, x, bn_momentum=0.1, first_precomputed=None):
+    def __call__(self, x, bn_momentum=0.1, first_precomputed=None,
+                 x_offset: int = 0):
         """``first_precomputed``: optional (..., widths[0]) tensor holding
-        ``feat_part @ K0[a:]`` (from :meth:`precompute_first`); ``x`` then
-        carries only the leading ``a`` input channels of layer 0."""
+        the already-contracted part of layer 0 (from
+        :meth:`precompute_first` / :meth:`precompute_leading`); ``x`` then
+        carries only the remaining input channels of layer 0, starting at
+        channel ``x_offset`` of the full layer-0 input (0 when ``x`` is
+        the leading block — the SA path; ``C_known`` when it is the
+        trailing skip block — the FP path)."""
         for i in range(len(self.widths)):
             if i == 0 and first_precomputed is not None:
                 k0 = self.denses[0].variables["params"]["kernel"]
                 a = x.shape[-1]
-                y = x.astype(self.dtype) @ k0[:a].astype(self.dtype)
+                y = x.astype(self.dtype) @ k0[
+                    x_offset:x_offset + a].astype(self.dtype)
                 if not self.use_bn:
                     b0 = self.denses[0].variables["params"]["bias"]
                     y = y + b0.astype(self.dtype)
@@ -154,6 +160,17 @@ class SharedMLP(nn.Module):
         (params must already exist; init always runs the standard path)."""
         k0 = self.denses[0].variables["params"]["kernel"]
         return feats.astype(self.dtype) @ k0[n_lead:].astype(self.dtype)
+
+    def precompute_leading(self, feats):
+        """``feats @ K0[:feats.shape[-1]]`` — the leading-channel part of
+        layer 0.  The FP restructure: layer-0's input is
+        concat[interp(known), skip], and IDW interpolation commutes with
+        the pointwise matmul, so ``Dense(interp(known)) ==
+        interp(Dense(known))`` — computed on the m known rows instead of
+        the n interpolated ones."""
+        k0 = self.denses[0].variables["params"]["kernel"]
+        return feats.astype(self.dtype) @ k0[
+            :feats.shape[-1]].astype(self.dtype)
 
 
 def _resize_matrix(src: int, dst: int, align_corners: bool) -> np.ndarray:
@@ -204,6 +221,18 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
       * "lerp" — two static 2-tap gather+lerp passes: O(out) memory
         traffic instead of O(out*src) MXU work.  Same weights, same
         result (each matrix row has exactly the two lerp taps).
+      * "matmul_packed" — the matmul form with spatial pairs packed into
+        the channel (lane) dimension, for C below a full 128-lane tile
+        (the PSP upsample stages run at C=64 = half a tile, so the plain
+        einsums waste half the MXU lanes).  The H-pass packs W-pairs via
+        a free reshape; the W-pass packs H-pairs (one transpose each
+        way).  Bit-identical to "matmul": packing only relabels which
+        lane carries which (spatial, channel) pair — every output is
+        the same 2-nonzero-tap dot product, and folding exact zeros
+        into an f32 accumulation in any order is exact.
+
+    All three methods produce bit-identical results; they differ only in
+    how the work maps onto the TPU (MXU lanes vs VPU gathers).
     """
     h, w = x.shape[-3], x.shape[-2]
     if method == "lerp":
@@ -217,6 +246,26 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
                 + jnp.take(x, jnp.asarray(hi_w), axis=-2) * fw)
     wh = jnp.asarray(_resize_matrix(h, out_h, align_corners), x.dtype)
     ww = jnp.asarray(_resize_matrix(w, out_w, align_corners), x.dtype)
+    if method == "matmul_packed":
+        lead, c = x.shape[:-3], x.shape[-1]
+        if w % 2 == 0:
+            # H-pass with W-pairs packed into lanes: (w, c) -> (w/2, 2c)
+            # is the identity on the flat buffer (free reshape).
+            xp = x.reshape(*lead, h, w // 2, 2 * c)
+            x = jnp.einsum("oh,...hpc->...opc", wh, xp).reshape(
+                *lead, out_h, w, c)
+        else:
+            x = jnp.einsum("oh,...hwc->...owc", wh, x)
+        if out_h % 2 == 0:
+            # W-pass with H-pairs packed into lanes (transpose each way).
+            xp = x.reshape(*lead, out_h // 2, 2, w, c)
+            xp = jnp.swapaxes(xp, -3, -2).reshape(
+                *lead, out_h // 2, w, 2 * c)
+            xp = jnp.einsum("ow,...pwc->...poc", ww, xp)
+            xp = xp.reshape(*lead, out_h // 2, out_w, 2, c)
+            return jnp.swapaxes(xp, -2, -3).reshape(
+                *lead, out_h, out_w, c)
+        return jnp.einsum("ow,...hwc->...hoc", ww, x)
     x = jnp.einsum("oh,...hwc->...owc", wh, x)
     return jnp.einsum("ow,...hwc->...hoc", ww, x)
 

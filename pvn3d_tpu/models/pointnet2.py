@@ -112,30 +112,51 @@ class FeaturePropagation(nn.Module):
     train: bool = True
     dtype: jnp.dtype = jnp.float32
     query_mode: str = "auto"
+    # Eval-only matmul-before-interpolate: IDW interpolation is a
+    # pointwise linear blend, so the first SharedMLP layer's known-side
+    # term satisfies Dense_0(interp(known)) == interp(Dense_0(known)) —
+    # computed on the m known rows instead of the n (>= 2x, 6x at the
+    # finest level) interpolated rows, and the 3-NN gather then moves
+    # widths[0] channels instead of C_known.  Exact up to f32 dot-product
+    # reassociation (equivalence-tested); train mode keeps the standard
+    # path (mirrors the SA restructure's batch-stat constraint).
+    precompute_first: bool = True
+
+    def _interp(self, unknown_xyz, known_xyz, feats):
+        """3-NN IDW blend of (B, m, C) ``feats`` onto unknown_xyz."""
+        if self.query_mode == "pallas":
+            # Fused exact 3-NN + IDW blend (ops/pallas/interp.py): no
+            # (n, 3, C) HBM intermediate; grads reach feats only
+            # (coords are data in every PVN3D use).
+            from pvn3d_tpu.ops.pallas.interp import three_interpolate_fused
+            interp, _, _ = three_interpolate_fused(
+                unknown_xyz, known_xyz, feats.astype(jnp.float32),
+                1e-8, jax.default_backend() != "tpu")
+            return interp.astype(self.dtype)
+        dist, idx = three_nn(unknown_xyz, known_xyz, mode=self.query_mode)
+        w = idw_weights(dist)
+        return three_interpolate(
+            feats.astype(jnp.float32), idx, w).astype(self.dtype)
 
     @nn.compact
     def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
                  bn_momentum=0.1):
-        if self.query_mode == "pallas":
-            # Fused exact 3-NN + IDW blend (ops/pallas/interp.py): no
-            # (n, 3, C) HBM intermediate; grads reach known_feats only
-            # (coords are data in every PVN3D use).
-            from pvn3d_tpu.ops.pallas.interp import three_interpolate_fused
-            interp, _, _ = three_interpolate_fused(
-                unknown_xyz, known_xyz, known_feats.astype(jnp.float32),
-                1e-8, jax.default_backend() != "tpu")
-            interp = interp.astype(self.dtype)
-        else:
-            dist, idx = three_nn(unknown_xyz, known_xyz,
-                                 mode=self.query_mode)
-            w = idw_weights(dist)
-            interp = three_interpolate(
-                known_feats.astype(jnp.float32), idx, w).astype(self.dtype)
+        mlp = SharedMLP(self.widths, train=self.train, dtype=self.dtype,
+                        name="mlp")
+        fast = (self.precompute_first and not self.train
+                and not self.is_initializing()
+                and unknown_feats is not None)
+        if fast:
+            pre = mlp.precompute_leading(known_feats)       # (B, m, W0)
+            interp_pre = self._interp(unknown_xyz, known_xyz, pre)
+            return mlp(unknown_feats.astype(self.dtype), bn_momentum,
+                       first_precomputed=interp_pre,
+                       x_offset=known_feats.shape[-1])
+        interp = self._interp(unknown_xyz, known_xyz, known_feats)
         if unknown_feats is not None:
             interp = jnp.concatenate(
                 [interp, unknown_feats.astype(self.dtype)], axis=-1)
-        return SharedMLP(self.widths, train=self.train, dtype=self.dtype,
-                         name="mlp")(interp, bn_momentum)
+        return mlp(interp, bn_momentum)
 
 
 class PointNet2MSG(nn.Module):
@@ -174,6 +195,7 @@ class PointNet2MSG(nn.Module):
             l_feats[li] = FeaturePropagation(
                 widths=self.cfg.fp_mlps[li], train=self.train,
                 dtype=self.dtype, query_mode=self.cfg.query_mode,
+                precompute_first=self.cfg.fp_precompute_first,
                 name=f"fp{li}")(
                     l_xyz[li], l_xyz[li + 1], l_feats[li], l_feats[li + 1],
                     bn_momentum)

@@ -60,14 +60,59 @@ def _dilate_cross(x: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.maximum(h, v)
 
 
+def _median25_network():
+    """Batcher odd-even-merge network over 32 wires, pruned by backward
+    reachability to the comparators that can affect output wire 12 (the
+    median of 25 real taps + 7 +inf pads) — ~153 of the 191 full-sort
+    compare-exchanges.  Same construction as the host twin
+    (native/preprocess.cpp::median25_network); selection networks are
+    input-independent, so wire 12 carries exactly the sort median."""
+    n = 32
+    all_ces = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            j = k % p
+            while j <= n - 1 - k:
+                for i in range(min(k - 1, n - j - k - 1) + 1):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        all_ces.append((i + j, i + j + k))
+                j += 2 * k
+            k >>= 1
+        p <<= 1
+    live = [False] * n
+    live[12] = True
+    kept = []
+    for a, b in reversed(all_ces):
+        if live[a] or live[b]:
+            live[a] = live[b] = True
+            kept.append((a, b))
+    return kept[::-1]
+
+
+_MEDIAN25_NET = _median25_network()
+
+
 def _median5(x: jnp.ndarray) -> jnp.ndarray:
-    """5x5 median with cv2.medianBlur's BORDER_REPLICATE semantics."""
+    """5x5 median with cv2.medianBlur's BORDER_REPLICATE semantics.
+
+    Median-selection min/max network over 25 shifted (H, W) planes
+    instead of ``jnp.sort`` over a (H, W, 25) stack: every compare-
+    exchange is two elementwise VPU ops that XLA fuses, and the lane
+    dimension stays the image row — no 25-deep sort, no materialized
+    tap axis.  Exact (selection networks compute the true order
+    statistic for any input)."""
     h, w = x.shape
     xp = jnp.pad(x, 2, mode="edge")
-    cols = [jax.lax.dynamic_slice(xp, (dr, dc), (h, w))
-            for dr in range(5) for dc in range(5)]
-    stack = jnp.stack(cols, axis=-1)
-    return jnp.sort(stack, axis=-1)[..., 12]
+    wires = [jax.lax.dynamic_slice(xp, (dr, dc), (h, w))
+             for dr in range(5) for dc in range(5)]
+    wires += [jnp.full_like(x, jnp.inf)] * 7   # pad to 32; sorts above 12
+    for a, b in _MEDIAN25_NET:
+        lo = jnp.minimum(wires[a], wires[b])
+        wires[b] = jnp.maximum(wires[a], wires[b])
+        wires[a] = lo
+    return wires[12]
 
 
 def _bilateral5(x: jnp.ndarray, sigma_color: float,

@@ -75,6 +75,23 @@ class TestLayers:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-5, atol=1e-5)
 
+    def test_resize_matmul_packed_matches_matmul(self):
+        # Lane-packed form must be exactly the plain matmul form, for
+        # even and odd spatial sizes (odd falls back per-pass) and for
+        # both corner conventions, including the PSP upsample shape
+        # regime (2x upsample at C=64-ish).
+        for key, shape, ac, (oh, ow) in [
+                (0, (2, 6, 8, 3), True, (12, 16)),
+                (1, (2, 9, 13, 5), True, (18, 26)),   # odd src dims
+                (2, (1, 4, 6, 4), False, (7, 40)),    # odd out_h
+                (3, (2, 30, 40, 64), True, (60, 80)),  # PSP stage shape
+                (4, (1, 5, 6, 2), False, (5, 6))]:
+            x = jax.random.normal(jax.random.PRNGKey(key), shape)
+            a = resize_bilinear(x, oh, ow, align_corners=ac)
+            b = resize_bilinear(x, oh, ow, align_corners=ac,
+                                method="matmul_packed")
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
     def test_adaptive_pool_matches_torch_binning(self):
         # 80 -> 6 bins: torch uses floor/ceil bin edges.
         x = jnp.arange(80.0).reshape(1, 1, 80, 1)
@@ -301,3 +318,47 @@ class TestSAPrecomputeFirst:
             vars_ = m.init(jax.random.PRNGKey(0), pc)
             outs[flag] = np.asarray(m.apply(vars_, pc), np.float32)
         np.testing.assert_allclose(outs[True], outs[False], atol=6e-3)
+
+
+class TestFPPrecomputeFirst:
+    def _run(self, flag, train=False, dtype=jnp.float32, query_mode="exact"):
+        from pvn3d_tpu.models.pointnet2 import PointNet2MSG
+        import dataclasses
+        cfg = small_config().pointnet2
+        rng = np.random.RandomState(7)
+        pc = jnp.asarray(rng.uniform(-1, 1, (2, 128, 6)).astype(np.float32))
+        c = dataclasses.replace(cfg, fp_precompute_first=flag,
+                                query_mode=query_mode)
+        m = PointNet2MSG(cfg=c, train=train, dtype=dtype)
+        vars_ = m.init(jax.random.PRNGKey(0), pc)
+        if train:
+            out, _ = m.apply(vars_, pc, mutable=["batch_stats"])
+        else:
+            out = m.apply(vars_, pc)
+        return np.asarray(out, np.float32)
+
+    def test_eval_forward_matches_standard_path(self):
+        """Matmul-before-interpolate FP evaluation (fp_precompute_first)
+        vs the standard path: Dense_0(interp(known)) ==
+        interp(Dense_0(known)) up to f32 dot reassociation."""
+        np.testing.assert_allclose(self._run(True), self._run(False),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_eval_matches_under_pallas_interp(self):
+        # The restructure feeds the fused 3-NN kernel W0 channels
+        # instead of C_known — results must agree with the standard
+        # pallas path too.
+        np.testing.assert_allclose(self._run(True, query_mode="pallas"),
+                                   self._run(False, query_mode="pallas"),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_train_mode_ignores_flag(self):
+        """Training keeps the standard path (mirrors the SA restructure's
+        batch-stat constraint): the flag must not change train outputs."""
+        np.testing.assert_array_equal(self._run(True, train=True),
+                                      self._run(False, train=True))
+
+    def test_bf16_path_within_rounding(self):
+        np.testing.assert_allclose(self._run(True, dtype=jnp.bfloat16),
+                                   self._run(False, dtype=jnp.bfloat16),
+                                   atol=6e-3)

@@ -37,6 +37,22 @@ def test_fill_multiscale_matches_host(seed):
     assert np.mean(np.abs(dev - host) < 1e-4) > 0.99
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_median5_network_is_exact_median(seed):
+    # The pruned min/max selection network must equal the true order
+    # statistic bit-for-bit (BORDER_REPLICATE, ties included).
+    from pvn3d_tpu.ops.preprocess import _median5
+    rng = np.random.RandomState(seed)
+    x = (rng.rand(23, 31) * (rng.rand(23, 31) > 0.3)).astype(np.float32)
+    got = np.asarray(_median5(jnp.asarray(x)))
+    xp = np.pad(x, 2, mode="edge")
+    want = np.empty_like(x)
+    for i in range(x.shape[0]):
+        for j in range(x.shape[1]):
+            want[i, j] = np.median(xp[i:i + 5, j:j + 5])
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fill_missing_matches_host():
     d = _scene_depth(1) * 10000.0                         # 0.1mm units
     host = fill_missing(d, 10000.0, 1.0)
