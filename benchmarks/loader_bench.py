@@ -106,7 +106,11 @@ def main(argv=None):
         "feeds_inference_chip": best >= need_infer,
         "feeds_train_chip": best >= need_train,
         "workers_to_feed_inference": (
-            int(np.ceil(need_infer / (best / max(max(results), 1))))
+            # per-worker rate at the BEST measured point (the argmax
+            # worker count, not the largest tried — oversubscribed runs
+            # would halve the estimate).
+            int(np.ceil(need_infer / (best / max(
+                max(results, key=results.get), 1))))
             if best else None),
     }
     print(json.dumps(verdict))

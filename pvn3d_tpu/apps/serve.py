@@ -136,6 +136,10 @@ def main(argv=None):
         if i < total:
             rgb, depth, k = next(src)
             t_sub = time.perf_counter()
+            if args.warmup == 0 and i == 0:
+                # No warmup: the rate clock must cover frame 0's whole
+                # latency, so it starts at its submission, not completion.
+                t_start = t_sub
             poses = step(jnp.asarray(rgb), jnp.asarray(depth),
                          jnp.asarray(k), i)
         else:
@@ -146,7 +150,7 @@ def main(argv=None):
             done = time.perf_counter()
             if p_i >= args.warmup:
                 lat.append(done - p_t)
-            if p_i == args.warmup - 1 or (args.warmup == 0 and p_i == 0):
+            if p_i == args.warmup - 1:
                 t_start = done
             if sink is not None and p_i >= args.warmup:
                 poses_arr, present = (np.asarray(p_poses[0]),

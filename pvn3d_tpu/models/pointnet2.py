@@ -37,7 +37,9 @@ class SetAbstractionMSG(nn.Module):
     dtype: jnp.dtype = jnp.float32
     query_mode: str = "auto"
     query_compute: str = "f32"
-    query_recall: float = 0.95
+    # Match PointNet2Config's validated default: evaluating at 0.95
+    # measurably costs accuracy (config.py::query_recall notes).
+    query_recall: float = 0.99
     query_capacity: int = 2
     fps_groups: int = 1
     # Input already slab-partitioned (output of a previous grouped-FPS

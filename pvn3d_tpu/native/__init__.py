@@ -21,17 +21,20 @@ _lib = None
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", _SRC, "-o", _LIB]
+    # Compile to a per-process temp and atomically rename: concurrent
+    # first-use from spawned workers must never CDLL a half-written .so.
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
-        return True
     except (OSError, subprocess.CalledProcessError):
         try:
             cmd.remove("-fopenmp")
             subprocess.run(cmd, check=True, capture_output=True)
-            return True
         except (OSError, subprocess.CalledProcessError):
             return False
+    os.replace(tmp, _LIB)
+    return True
 
 
 def load_library() -> Optional[ctypes.CDLL]:

@@ -31,11 +31,16 @@ def load_library() -> Optional[ctypes.CDLL]:
         return _lib
     if not os.path.exists(_LIB) or (
             os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-        base = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB]
+        # Concurrent first-use (spawned loader workers) races on _LIB:
+        # compile to a per-process temp name and atomically rename, so a
+        # sibling's CDLL never sees a partially-written file.  Losing a
+        # duplicate build to the rename is harmless.
+        tmp = f"{_LIB}.{os.getpid()}.tmp"
         built = False
         for extra in (["-march=native", "-fopenmp"], ["-fopenmp"], []):
             try:
-                subprocess.run(base[:2] + extra + base[2:], check=True,
+                subprocess.run(["g++", "-O3", *extra, "-shared", "-fPIC",
+                                _SRC, "-o", tmp], check=True,
                                capture_output=True)
                 built = True
                 break
@@ -44,6 +49,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         if not built:
             _lib_failed = True
             return None
+        os.replace(tmp, _LIB)
     lib = ctypes.CDLL(_LIB)
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32 = ctypes.c_int32

@@ -28,7 +28,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_VALID_EPS = 0.1
+# Validity threshold on (inverted) depths — 0.01 everywhere, matching the
+# host twin (data/depth_completion.py:20) and the reference's
+# fill_in_multiscale (depth_map_utils_ycb.py:166-264; the 0.1 constants
+# there belong to fill_in_fast, a different, unused function).  A larger
+# value silently drops real depths in (eps, 0.1] and corrupts pixels
+# within eps of max_depth after inversion.
+_VALID_EPS = 0.01
 
 
 def _dilate_full(x: jnp.ndarray, size: int) -> jnp.ndarray:

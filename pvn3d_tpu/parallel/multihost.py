@@ -22,8 +22,10 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
     With explicit coordinator args a real bootstrap is demanded — errors
     propagate.  With no args (the single-machine `--distributed` fast
-    path), a RuntimeError from the absence of any cluster environment is
-    tolerated: the run continues single-process.
+    path), the absence of any cluster environment is tolerated and the
+    run continues single-process: jax raises ValueError("coordinator_
+    address should be defined") when no cluster auto-detect succeeds
+    (RuntimeError also accepted for older jax).
     """
     if jax.distributed.is_initialized():
         return
@@ -34,7 +36,7 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         return
     try:
         jax.distributed.initialize()
-    except RuntimeError:
+    except (RuntimeError, ValueError):
         pass  # no cluster auto-detect environment: stay single-process
 
 

@@ -107,12 +107,6 @@ def _dense(w) -> np.ndarray:
     return np.ascontiguousarray(a.T)
 
 
-def _merge(params: Dict, stats: Dict, name: str, p, s=None) -> None:
-    params[name] = p
-    if s:
-        stats[name] = s
-
-
 def convert_shared_mlp(sd: Mapping, prefix: str, n_layers: int
                        ) -> Tuple[Dict, Dict]:
     """etw SharedMLP (1x1 Conv2d + BN2d stacks, etw_pytorch_utils/

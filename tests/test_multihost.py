@@ -38,6 +38,23 @@ def test_global_batch_from_local_shards_correctly():
         (1, 6, 6, 3)}
 
 
+def test_no_arg_initialize_tolerates_missing_cluster():
+    """initialize_distributed() with no args on a plain machine must fall
+    back to single-process instead of raising (jax signals the missing
+    cluster env with ValueError: 'coordinator_address should be
+    defined')."""
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_COORDINATOR", "COORDINATOR_"))}
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from pvn3d_tpu.parallel.multihost import initialize_distributed\n"
+         "initialize_distributed()\n"
+         "print('single-process ok')"],
+        capture_output=True, text=True, timeout=120, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "single-process ok" in r.stdout
+
+
 def test_two_process_distributed_train_step():
     """Real jax.distributed bootstrap: 2 CPU processes x 2 devices, local
     coordinator, one tiny-config sharded train step per process — the

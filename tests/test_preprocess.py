@@ -24,6 +24,11 @@ def _scene_depth(seed=0, h=120, w=160):
         r0, c0 = rng.randint(0, h - 8), rng.randint(0, w - 8)
         d[r0:r0 + rng.randint(2, 8), c0:c0 + rng.randint(2, 8)] = 0.0
     d[:6] = 0.0                                           # empty sky rows
+    # Edge-of-range depths: near max_depth (inverted value < 0.1) and
+    # shallow-but-valid (0.01, 0.1] — both corrupted if the device twin's
+    # validity eps disagrees with the host's 0.01.
+    d[90:100, 10:20] = 2.96
+    d[100:110, 10:20] = 0.05
     return d
 
 
