@@ -61,5 +61,11 @@ def project_points(p3d: jnp.ndarray, k: jnp.ndarray,
     """
     p3d = p3d * cam_scale
     uvw = jnp.einsum("...nc,dc->...nd", p3d, jnp.asarray(k, jnp.float32))
-    uv = uvw[..., :2] / jnp.maximum(uvw[..., 2:3], 1e-9)
+    # Sign-preserving divisor guard: the reference divides by z directly,
+    # so points behind the camera mirror (negative z) rather than blow up
+    # toward +inf; only |z| ~ 0 is clamped to avoid inf/nan.
+    z = uvw[..., 2:3]
+    z = jnp.where(jnp.abs(z) < 1e-9,
+                  jnp.where(z < 0, -1e-9, 1e-9), z)
+    uv = uvw[..., :2] / z
     return jnp.round(uv).astype(jnp.int32)

@@ -81,7 +81,13 @@ def icp_refine(mesh_pts: jnp.ndarray, mesh_valid: jnp.ndarray,
         inc = best_fit_transform(matched, scene_pts, weights=sc_w)
         new_pose = compose_poses(inc, pose)
         pose = jnp.where(active[:, None, None], new_pose, pose)
-        still = jnp.abs(prev_err - err) >= tolerance
+        # The reference's 1e-9 absolute test was written for float64; in
+        # f32 one ulp of err exceeds 1e-9 once err > ~1.7 cm, so a
+        # problem that keeps jittering by rounding noise would otherwise
+        # pin the whole batch at max_iter.  Treat changes at the f32
+        # rounding level of err as converged.
+        tol = jnp.maximum(jnp.float32(tolerance), err * jnp.float32(1.2e-7))
+        still = jnp.abs(prev_err - err) >= tol
         active = active & still
         return pose, err, active, it + 1, err
 
@@ -206,14 +212,16 @@ def refine_frame_poses(init_poses, mesh_pts, mesh_valid, scene_pts,
     the full-res class pixel count *before* capping/cluster-filtering
     (eval_icp.py:130-151), so the full-res path passes those counts here.
     """
+    # The reference evaluates the gate on the class cloud BEFORE the
+    # biggest-cluster filter (eval_icp.py:130-151) — count first.
+    n_pts = (jnp.sum(scene_valid, axis=-1) if gate_counts is None
+             else gate_counts)
     if use_cluster_filter:
         scene_valid = biggest_cluster_mask(
             scene_pts, scene_valid, bandwidth=cluster_bandwidth)
     refined, err, iters = icp_refine(
         mesh_pts, mesh_valid, scene_pts, scene_valid, init_poses,
         max_iter=max_iter, tolerance=tolerance)
-    n_pts = (jnp.sum(scene_valid, axis=-1) if gate_counts is None
-             else gate_counts)
     keep = n_pts >= min_points
     poses = jnp.where(keep[:, None, None], refined, init_poses)
     return poses, err, iters

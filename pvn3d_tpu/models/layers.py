@@ -54,6 +54,9 @@ class BatchNorm(nn.Module):
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=axes)
             var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            # E[x^2]-E[x]^2 can round negative for large-mean/low-variance
+            # channels; rsqrt would then be NaN (flax clamps identically).
+            var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
                 m = jnp.asarray(momentum, jnp.float32)
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
@@ -266,6 +269,9 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
             return jnp.swapaxes(xp, -2, -3).reshape(
                 *lead, out_h, out_w, c)
         return jnp.einsum("ow,...hwc->...hoc", ww, x)
+    if method != "matmul":
+        raise ValueError(f"unknown resize method {method!r} "
+                         "(matmul / lerp / matmul_packed)")
     x = jnp.einsum("oh,...hwc->...owc", wh, x)
     return jnp.einsum("ow,...hwc->...hoc", ww, x)
 

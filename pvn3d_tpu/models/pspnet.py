@@ -89,8 +89,12 @@ class PSPUpsample(nn.Module):
     resize_method: str = "matmul"
 
     def setup(self):
+        # VALID padding + explicit zero-pad in the dense path (identical
+        # numbers): the sparse path then gets exactly the center output
+        # of each reconstructed 3x3 patch instead of computing all nine
+        # conv positions and keeping [1, 1] (9x the matmul FLOPs).
         self.conv = nn.Conv(self.features, (3, 3),
-                            padding=((1, 1), (1, 1)), use_bias=True,
+                            padding="VALID", use_bias=True,
                             dtype=self.dtype, param_dtype=jnp.float32)
         self.bn = BatchNorm(use_running_average=not self.train,
                             dtype=self.dtype)
@@ -100,6 +104,7 @@ class PSPUpsample(nn.Module):
         h, w = x.shape[-3], x.shape[-2]
         x = resize_bilinear(x, 2 * h, 2 * w, align_corners=True,
                             method=self.resize_method)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         x = self.conv(x)
         x = self.bn(x, bn_momentum)
         return self.prelu(x)
@@ -124,7 +129,8 @@ class PSPUpsample(nn.Module):
         patch = jnp.stack(patches, axis=2)               # (B, P, 9, C)
         p = patch.shape[1]
         patch = patch.reshape(b * p, 3, 3, x.shape[-1])
-        y = self.conv(patch)[:, 1, 1, :].reshape(b, p, self.features)
+        # VALID conv on a 3x3 patch == the center output pixel only.
+        y = self.conv(patch)[:, 0, 0, :].reshape(b, p, self.features)
         y = self.bn(y, bn_momentum)
         return self.prelu(y)
 

@@ -25,8 +25,15 @@ masked indices* — a selection problem, not a scatter problem.  Scores are
     depth clouds, with misses replaced by other in-radius points — the
     reference's own first-k rule is an order-biased subsample.  0.999 is
     effectively exact but costs ~2x across the levels; exact `top_k` ~5x).
-  * ``exact`` — ``lax.top_k`` on the negated scores; bit-exact reference
-    semantics including tie order.
+  * ``exact`` — ``lax.top_k`` on the negated scores; bit-exact selection
+    (first-k-in-order incl. ties).  Exact mode also computes d^2 in the
+    direct (c - x)^2 form instead of the expanded |c|^2 - 2c.x + |x|^2:
+    the expansion's f32 cancellation (~|p|^2 * 2^-24) moves the radius
+    boundary relative to the reference kernel's per-pair dx^2+dy^2+dz^2
+    (ball_query_gpu.cu:30-34), so parity mode matches the reference's own
+    arithmetic; membership then agrees to f32 rounding of the same
+    expression (GPU FMA contraction can still differ by 1 ulp).  The
+    throughput modes keep the expanded MXU form.
 
 The (m, N) distance tiles are chunked over centroids so the full matrix
 never exceeds a few tens of MB.  Gathers are ``take_along_axis`` whose VJP
@@ -68,69 +75,10 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
       (B, m, nsample) int32 indices; centroids with no hit get index 0
       (matching the reference's zero-initialized output buffer).
     """
-    if mode == "auto":
-        mode = "approx" if jax.default_backend() == "tpu" else "exact"
-    if mode == "pallas":
-        from pvn3d_tpu.ops.pallas.query import ball_query_pallas
-        return ball_query_pallas(
-            (radius,), (nsample,), xyz, new_xyz, capacity=capacity,
-            interpret=jax.default_backend() != "tpu")[0]
-    return jax.vmap(
-        lambda x, c: _ball_query_single(x, c, radius, nsample, mode,
-                                        chunk_m, recall, compute_dtype)
-    )(xyz, new_xyz)
-
-
-def _ball_query_single(xyz, centroids, radius, nsample, mode, chunk_m,
-                       recall, compute_dtype="f32"):
-    if compute_dtype == "bf16":
-        xyz = xyz.astype(jnp.bfloat16)
-        centroids = centroids.astype(jnp.bfloat16)
-    n = xyz.shape[0]
-    m = centroids.shape[0]
-    r2 = jnp.float32(radius * radius)
-    x_sq = jnp.sum(xyz.astype(jnp.float32) ** 2, axis=-1)  # (N,)
-
-    n_chunks = max(1, -(-m // chunk_m))
-    pad = n_chunks * chunk_m - m
-    cen = jnp.pad(centroids, ((0, pad), (0, 0))) if pad else centroids
-    cen = cen.reshape(n_chunks, chunk_m, 3)
-
-    def per_chunk(c):
-        c_sq = jnp.sum(c.astype(jnp.float32) ** 2, axis=-1)   # (chunk_m,)
-        cross = jnp.dot(c, xyz.T, preferred_element_type=jnp.float32)
-        d2 = c_sq[:, None] - 2.0 * cross + x_sq[None, :]   # (chunk_m, N)
-        hit = d2 < r2
-        iota = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
-        score = jnp.where(hit, iota, n).astype(jnp.float32)
-        k = min(nsample, n)
-        if mode == "approx":
-            vals, _ = jax.lax.approx_min_k(score, k, recall_target=recall)
-            idx = vals.astype(jnp.int32)
-        else:
-            neg, _ = jax.lax.top_k(-score, k)
-            idx = (-neg).astype(jnp.int32)
-        if k < nsample:
-            idx = jnp.concatenate(
-                [idx, jnp.broadcast_to(idx[:, :1],
-                                       (idx.shape[0], nsample - k))], axis=1)
-        # Pad trailing slots with the first hit; no-hit centroids get 0
-        # (ball_query_gpu.cu:35-39 + zero-initialized output).  ``found``
-        # masks filler slots (score n == no in-radius point selected): a
-        # centroid with <= k hits where approx missed one must repeat the
-        # first hit, never admit a far point.  Selection values come back
-        # sorted ascending, so valid entries are a prefix — the selected
-        # count sum(found) (over (m, k)) replaces the full-matrix hit
-        # count sum(hit) (over (m, N)): (slots < hit_count) & found ==
-        # slots < sum(found) because selected-valid <= hit_count always.
-        # Dropping the (m, N) count reduction saves a full HBM pass per
-        # scale (~1.7 ms at L0, measured).
-        found = idx < n
-        first = jnp.where(found[:, 0], idx[:, 0], 0)
-        return jnp.where(found, idx, first[:, None])
-
-    out = jax.lax.map(per_chunk, cen).reshape(n_chunks * chunk_m, nsample)
-    return out[:m]
+    return ball_query_multi((radius,), (nsample,), xyz, new_xyz, mode=mode,
+                            chunk_m=chunk_m, recall=recall,
+                            compute_dtype=compute_dtype,
+                            capacity=capacity)[0]
 
 
 def ball_query_multi(radii, nsamples, xyz: jnp.ndarray,
@@ -166,9 +114,19 @@ def ball_query_multi(radii, nsamples, xyz: jnp.ndarray,
         cen = cen.reshape(n_chunks, chunk_m, 3)
 
         def per_chunk(cc):
-            c_sq = jnp.sum(cc.astype(jnp.float32) ** 2, axis=-1)
-            cross = jnp.dot(cc, x.T, preferred_element_type=jnp.float32)
-            d2 = c_sq[:, None] - 2.0 * cross + x_sq[None, :]
+            if mode == "exact":
+                # Parity form: per-pair (dx^2+dy^2+dz^2) like the
+                # reference kernel — no |c|^2-2c.x+|x|^2 cancellation at
+                # the radius boundary (module docstring).  VPU work, fine
+                # for the opt-in parity mode.
+                ccf = cc.astype(jnp.float32)
+                xf = x.astype(jnp.float32)
+                d2 = sum((ccf[:, None, i] - xf[None, :, i]) ** 2
+                         for i in range(3))
+            else:
+                c_sq = jnp.sum(cc.astype(jnp.float32) ** 2, axis=-1)
+                cross = jnp.dot(cc, x.T, preferred_element_type=jnp.float32)
+                d2 = c_sq[:, None] - 2.0 * cross + x_sq[None, :]
             iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
             outs = []
             for radius, nsample in zip(radii, nsamples):
@@ -187,10 +145,17 @@ def ball_query_multi(radii, nsamples, xyz: jnp.ndarray,
                         [idx, jnp.broadcast_to(
                             idx[:, :1], (idx.shape[0], nsample - k))],
                         axis=1)
-                found = idx < n       # mask filler slots (see ball_query:
+                # Pad trailing slots with the first hit; no-hit centroids
+                # get 0 (ball_query_gpu.cu:35-39 + zero-initialized
+                # output).  ``found`` masks filler slots (score n == no
+                # in-radius point selected): a centroid with <= k hits
+                # where approx missed one must repeat the first hit,
+                # never admit a far point.  Selection values come back
+                # sorted ascending, so valid entries are a prefix — no
+                # (m, N) hit-count pass needed (saves a full HBM pass
+                # per scale, ~1.7 ms at L0, measured).
+                found = idx < n
                 first = jnp.where(found[:, 0], idx[:, 0], 0)
-                # sorted-ascending selection => valid entries are a prefix;
-                # no (m, N) hit-count pass needed)
                 outs.append(jnp.where(found, idx, first[:, None]))
             return tuple(outs)
 

@@ -32,6 +32,10 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk: int = 2048,
     Returns:
       dist (B, n, 3) float32 euclidean distances, idx (B, n, 3) int32 —
       sorted ascending, matching interpolate_gpu.cu's running-min order.
+
+    Requires m >= 3 (top_k over the known axis; every PVN3D FP level has
+    m >= 128).  The pallas twin handles m < 3 by returning index 0 with a
+    huge distance, like the CUDA kernel's initialized running-min slots.
     """
     if mode == "auto":
         mode = "approx" if jax.default_backend() == "tpu" else "exact"

@@ -74,6 +74,11 @@ def _interp_kernel(m_valid: int, eps: float,
 
     v3 = jnp.concatenate(vals, axis=1)             # (Nt, 3)
     i3 = jnp.concatenate(idxs, axis=1)             # (Nt, 3)
+    # m_valid < 3: rounds past the real points select padded columns
+    # (d2 == _BIG).  Mirror the CUDA running top-3's initialized state
+    # (besti = 0, interpolate_gpu.cu:24-27): index 0 with a huge distance,
+    # so the returned idx stays in-range and the IDW weight ~ 0.
+    i3 = jnp.where(v3 >= _BIG, 0, i3)
     dist = jnp.sqrt(jnp.maximum(v3, 0.0))
     recip = 1.0 / (dist + eps)
     w = recip / jnp.sum(recip, axis=1, keepdims=True)

@@ -16,19 +16,41 @@ import numpy as np
 
 
 class CheckpointManager:
+    """Latest-N + best-1 retention, the reference's checkpoint layout
+    (pvn3d.pth.tar rolling latest + pvn3d_best.pth.tar copy on val-loss
+    improvement, train_ycb_pvn3d.py:121-129,384-392).
+
+    The main manager prunes purely by recency (bounded disk, latest step
+    always restorable); the best checkpoint lives in a ``best/``
+    subdirectory written only when ``val_loss`` improves.  orbax's own
+    ``best_fn`` retention is deliberately not used: it preserves every
+    metric-less save (all of them when no validation is wired), growing
+    without bound, and can prune the latest step away from under resume.
+    """
+
     def __init__(self, directory: str, max_to_keep: int = 3,
                  keep_best: bool = True):
         import orbax.checkpoint as ocp
         self._ocp = ocp
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
-        options = ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep,
-            best_fn=(lambda m: m.get("val_loss", np.inf))
-            if keep_best else None,
-            best_mode="min" if keep_best else None,
-        )
-        self.mgr = ocp.CheckpointManager(directory, options=options)
+        self.mgr = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+        self.best_mgr = None
+        self._best = np.inf
+        if keep_best:
+            best_dir = os.path.join(directory, "best")
+            self.best_mgr = ocp.CheckpointManager(
+                best_dir,
+                options=ocp.CheckpointManagerOptions(max_to_keep=1))
+            # Carry the best-so-far across resumes (sidecar json — orbax
+            # only persists metrics when its own best_fn is configured).
+            self._best_file = os.path.join(best_dir, "best_val_loss.json")
+            if os.path.exists(self._best_file):
+                import json
+                with open(self._best_file) as f:
+                    self._best = float(json.load(f)["val_loss"])
 
     def save(self, step: int, state: Any,
              val_loss: Optional[float] = None) -> None:
@@ -36,6 +58,15 @@ class CheckpointManager:
             else None
         self.mgr.save(step, args=self._ocp.args.StandardSave(state),
                       metrics=metrics)
+        if (self.best_mgr is not None and val_loss is not None
+                and float(val_loss) < self._best):
+            self._best = float(val_loss)
+            self.best_mgr.save(step,
+                               args=self._ocp.args.StandardSave(state),
+                               metrics=metrics)
+            import json
+            with open(self._best_file, "w") as f:
+                json.dump({"val_loss": self._best, "step": int(step)}, f)
 
     def restore(self, state_template: Any) -> Optional[Any]:
         """Latest checkpoint restored into the template's structure/sharding,
@@ -53,6 +84,10 @@ class CheckpointManager:
 
     def wait(self):
         self.mgr.wait_until_finished()
+        if self.best_mgr is not None:
+            self.best_mgr.wait_until_finished()
 
     def close(self):
         self.mgr.close()
+        if self.best_mgr is not None:
+            self.best_mgr.close()

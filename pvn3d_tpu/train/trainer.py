@@ -33,19 +33,28 @@ def is_to_eval(it: int) -> bool:
 
 
 class MeterLogger:
-    """Interval-mean metric printer (CmdLineViz semantics)."""
+    """Interval-mean metric printer (CmdLineViz semantics).
+
+    ``update`` buffers metric values WITHOUT converting device arrays —
+    a per-scalar ``float()`` would synchronize the host on every step
+    (each fetch is a ~30-45 ms round trip through the TPU tunnel) and
+    serialize dispatch.  One batched ``jax.device_get`` per ``flush``
+    pays a single round trip per log interval instead.
+    """
 
     def __init__(self, prefix: str = "train"):
         self.prefix = prefix
         self.buf = collections.defaultdict(list)
         self.t0 = time.time()
 
-    def update(self, metrics: Dict[str, float]) -> None:
+    def update(self, metrics: Dict) -> None:
         for k, v in metrics.items():
-            self.buf[k].append(float(v))
+            self.buf[k].append(v)
 
     def flush(self, it: int) -> Dict[str, float]:
-        means = {k: float(np.mean(v)) for k, v in self.buf.items() if v}
+        vals = jax.device_get(dict(self.buf))
+        means = {k: float(np.mean([float(x) for x in v]))
+                 for k, v in vals.items() if v}
         if means:
             dt = time.time() - self.t0
             msg = "  ".join(f"{k}={v:.4f}" for k, v in sorted(means.items()))
@@ -68,7 +77,6 @@ class Trainer:
         self.rng = rng if rng is not None else jax.random.PRNGKey(
             cfg.train.seed)
         self.log_every = log_every
-        self.best_loss = np.inf
         self.put_batch = put_batch or (lambda b: b)
 
     def resume(self) -> int:
@@ -98,11 +106,16 @@ class Trainer:
             prefetch: int = 2) -> None:
         from pvn3d_tpu.data.loader import prefetch_to_device
         logger = MeterLogger("train")
+        # Host-side step mirror: the jitted step increments state.step by
+        # exactly 1, and int(state.step) every iteration would block on
+        # the in-flight computation (one tunnel round trip per step),
+        # serializing dispatch against the device.
+        it = int(self.state.step)
         for batch in prefetch_to_device(train_batches, self.put_batch,
                                         size=prefetch):
             self.state, metrics = self.train_step(
                 self.state, batch, self.rng)
-            it = int(self.state.step)
+            it += 1
             logger.update(metrics)
             if it % self.log_every == 0:
                 logger.flush(it)
@@ -111,14 +124,11 @@ class Trainer:
                 if self.eval_step is not None and val_batches_fn is not None:
                     val = self.eval_epoch(val_batches_fn())
                     val_loss = val.get("loss")
-                    self.best_loss = min(self.best_loss,
-                                         val_loss if val_loss is not None
-                                         else np.inf)
                 if self.ckpt is not None:
                     self.ckpt.save(it, self.state, val_loss=val_loss)
             if max_steps is not None and it >= max_steps:
                 break
-        logger.flush(int(self.state.step))
+        logger.flush(it)
         if self.ckpt is not None:
-            self.ckpt.save(int(self.state.step), self.state)
+            self.ckpt.save(it, self.state)
             self.ckpt.wait()

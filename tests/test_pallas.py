@@ -142,6 +142,24 @@ class TestThreeInterpolateFused:
         np.testing.assert_allclose(np.asarray(dist)[0, 0], [0, 0, 1],
                                    atol=1e-6)
 
+    def test_fewer_than_three_known_points(self):
+        # m < 3: the padded extraction rounds must return index 0 with a
+        # huge distance (the CUDA running-min's initialized slots), never
+        # an out-of-range index.
+        from pvn3d_tpu.ops.pallas.interp import three_interpolate_fused
+        k = np.asarray([[[0.0, 0, 0], [1.0, 0, 0]]], np.float32)  # m = 2
+        u = np.asarray([[[0.1, 0, 0], [0.9, 0, 0]]], np.float32)
+        f = np.asarray([[[10.0], [20.0]]], np.float32)
+        out, dist, idx = three_interpolate_fused(
+            jnp.asarray(u), jnp.asarray(k), jnp.asarray(f), 1e-8, True)
+        idx = np.asarray(idx)
+        assert idx.min() >= 0 and idx.max() < 2
+        np.testing.assert_array_equal(idx[0, :, 2], [0, 0])   # padded slot
+        assert np.all(np.asarray(dist)[0, :, 2] > 1e10)       # huge dist
+        # Weight on the padded slot ~ 0: blend == IDW of the two real pts
+        # (dists 0.1/0.9 -> weights 0.9/0.1 -> 10*0.9 + 20*0.1 = 11).
+        np.testing.assert_allclose(np.asarray(out)[0, 0, 0], 11.0, atol=1e-3)
+
     def test_gradient_matches_xla(self):
         from pvn3d_tpu.ops.pallas.interp import three_interpolate_fused
         from pvn3d_tpu.ops.interpolate import (idw_weights, three_interpolate,
