@@ -35,6 +35,9 @@ def main(argv=None):
 
     import cv2
 
+    from pvn3d_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from pvn3d_tpu import config as C
     from pvn3d_tpu.apps.train import make_dataset_factory
     from pvn3d_tpu.config import Config

@@ -104,7 +104,6 @@ def main(argv=None):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     if is_lm:
-        kps = stacked_mesh_kps("linemod", n_cls=2)
         # assets index by object name; row 1 is this object.
         from pvn3d_tpu.utils.assets import get_ctr, get_kps
         kp = get_kps(args.cls, ds_type="linemod")

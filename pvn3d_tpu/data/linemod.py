@@ -209,6 +209,8 @@ class LineMODDataset:
         }
 
     def _paste_real_background(self, rgb, labels, depth):
+        if not self.real_lst:      # render-only list: nothing to paste
+            return rgb, depth
         real_item = self.real_lst[self.rng.randint(len(self.real_lst))]
         try:
             back_depth = _load_image(os.path.join(
@@ -222,6 +224,13 @@ class LineMODDataset:
         if back_label.ndim > 2:
             back_label = back_label[..., 0]
         back_rgb = back_rgb[..., ::-1]        # BGR like the foreground
+        # Real LineMOD depth PNGs are millimeters; the render foreground
+        # here is meters (pkl, cam_scale 1.0).  The reference pastes the
+        # raw mm values into the metric map (linemod_dataset.py:166-187)
+        # — a unit-mixing quirk that puts background pixels ~1000x too
+        # far; both our host and raw-train paths paste at the correct
+        # scale instead (documented deviation, PARITY.md).
+        back_depth = back_depth.astype(np.float32) / 1000.0
         return augment.add_real_back(
             rgb, labels, depth.astype(np.float32), depth > 1e-6,
             back_rgb, back_depth, back_label)

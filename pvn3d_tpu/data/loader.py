@@ -41,7 +41,7 @@ class DataLoader:
     def __init__(self, dataset_factory, batch_size: int,
                  num_workers: int = 0, seed: int = 0,
                  steps: Optional[int] = None, shuffle: bool = False,
-                 chunksize: int = 1):
+                 chunksize: int = 1, pad_last: bool = True):
         self.factory = dataset_factory
         self.batch_size = batch_size
         self.num_workers = num_workers
@@ -49,6 +49,13 @@ class DataLoader:
         self.steps = steps
         self.shuffle = shuffle
         self.chunksize = chunksize
+        # Epoch mode (steps=None): the final n % batch_size samples are
+        # padded by repeating the last sample to keep one jitted batch
+        # shape; the batch carries "_n_valid" (a plain int) so consumers
+        # score only the real frames.  pad_last=False drops them instead
+        # (the old behavior).  Training mode never produces a partial
+        # batch (the ticket stream is steps * batch_size long).
+        self.pad_last = pad_last
 
     def _indices(self, n: int) -> Iterator[int]:
         if self.steps is not None:
@@ -77,17 +84,28 @@ class DataLoader:
                                   (self.factory, self.seed))
             sample_stream = self._pool.imap(
                 _fetch, idx_stream, chunksize=self.chunksize)
-        batch = []
-        for sample in sample_stream:
-            if sample is None:
-                continue
-            batch.append(sample)
-            if len(batch) == self.batch_size:
-                yield collate(batch)
-                batch = []
-        if self.num_workers > 0:
-            self._pool.close()
-            self._pool.join()
+        try:
+            batch = []
+            for sample in sample_stream:
+                if sample is None:
+                    continue
+                batch.append(sample)
+                if len(batch) == self.batch_size:
+                    yield collate(batch)
+                    batch = []
+            if batch and self.steps is None and self.pad_last:
+                n_valid = len(batch)
+                batch += [batch[-1]] * (self.batch_size - n_valid)
+                out = collate(batch)
+                out["_n_valid"] = n_valid
+                yield out
+        finally:
+            # Consumers may break out early (--max_frames, demo
+            # --n_frames): terminate instead of close so imap stops
+            # feeding workers the rest of the index stream.
+            if self.num_workers > 0:
+                self._pool.terminate()
+                self._pool.join()
 
 
 def prefetch_to_device(iterator, put, size: int = 2):

@@ -68,8 +68,10 @@ class YCBDataset:
 
     def _pick_train_item(self) -> str:
         # 80% synthetic / 20% real (reference: real_syn_gen,
-        # ycb_dataset.py:64-73).
-        if self.rng.rand() > 0.8 and self.real_lst:
+        # ycb_dataset.py:64-73).  Single-population file lists (real-only
+        # or syn-only smoke subsets, see ``file_list``) draw from
+        # whichever list is non-empty.
+        if not self.syn_lst or (self.rng.rand() > 0.8 and self.real_lst):
             return self.real_lst[self.rng.randint(len(self.real_lst))]
         return self.syn_lst[self.rng.randint(len(self.syn_lst))]
 
@@ -188,6 +190,8 @@ class YCBDataset:
         }
 
     def _paste_real_background(self, rgb, labels, depth):
+        if not self.real_lst:      # syn-only file list: nothing to paste
+            return rgb, depth
         real_item = self.real_lst[self.rng.randint(len(self.real_lst))]
         try:
             back_rgb, back_depth, back_label, _ = self._load_raw(real_item)

@@ -198,6 +198,10 @@ def accumulate_batches(step, batches, ev: PoseEvaluator,
     evaluator.  Returns the number of frames scored."""
     n_frames = 0
     for batch in batches:
+        batch = dict(batch)
+        # Padded final batch (loader pad_last / iter_packed_batches):
+        # only the first _n_valid frames are real.
+        n_valid = int(batch.pop("_n_valid", 0)) or None
         out = step(batch)
         if "add" not in out:
             continue
@@ -209,9 +213,9 @@ def accumulate_batches(step, batches, ev: PoseEvaluator,
         if ds_type == "linemod":
             # Single-object frames store class 1; score under obj_id.
             cls_ids = np.where(cls_ids > 0, obj_id, 0)
-        for b in range(cls_ids.shape[0]):
+        for b in range(n_valid or cls_ids.shape[0]):
             ev.add_frame(cls_ids[b], add[b], adds[b])
-        n_frames += cls_ids.shape[0]
+        n_frames += n_valid or cls_ids.shape[0]
         if max_frames and n_frames >= max_frames:
             break
     return n_frames

@@ -32,18 +32,24 @@ def _build() -> bool:
             cmd.remove("-fopenmp")
             subprocess.run(cmd, check=True, capture_output=True)
         except (OSError, subprocess.CalledProcessError):
+            if os.path.exists(tmp):
+                os.remove(tmp)
             return False
     os.replace(tmp, _LIB)
     return True
 
 
+_lib_failed = False
+
+
 def load_library() -> Optional[ctypes.CDLL]:
-    global _lib
-    if _lib is not None:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
         return _lib
     if not os.path.exists(_LIB) or (
             os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
         if not _build():
+            _lib_failed = True   # don't re-spawn g++ per call
             return None
     lib = ctypes.CDLL(_LIB)
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")

@@ -47,6 +47,8 @@ def load_library() -> Optional[ctypes.CDLL]:
             except (OSError, subprocess.CalledProcessError):
                 continue
         if not built:
+            if os.path.exists(tmp):
+                os.remove(tmp)
             _lib_failed = True
             return None
         os.replace(tmp, _LIB)

@@ -73,18 +73,39 @@ def pack_dataset(dataset, out_dir: str, shard_size: int = 64,
 
 
 def iter_packed_batches(out_dir: str, batch_size: int = 0):
-    """Yield batch dicts from packed shards (re-batched if requested)."""
+    """Yield batch dicts from packed shards (re-batched if requested).
+
+    Remainder frames carry over into the next shard so nothing is
+    dropped at shard boundaries; the final partial batch is padded by
+    repeating its last frame and carries ``"_n_valid"`` (a plain int) so
+    consumers score only the real frames at one jitted batch shape.
+    """
+    carry = None
     for path in sorted(glob.glob(os.path.join(out_dir, "shard_*.npz"))):
         with np.load(path) as z:
             shard = {k: z[k] for k in z.files}
         if shard.get("rgb") is not None and shard["rgb"].dtype == np.uint8:
             shard["rgb"] = shard["rgb"].astype(np.float32)
-        n = len(next(iter(shard.values())))
-        if not batch_size or batch_size >= n:
+        if not batch_size:
             yield shard
-        else:
-            for s in range(0, n - batch_size + 1, batch_size):
-                yield {k: v[s:s + batch_size] for k, v in shard.items()}
+            continue
+        if carry is not None:
+            shard = {k: np.concatenate([carry[k], shard[k]])
+                     for k in shard}
+            carry = None
+        n = len(next(iter(shard.values())))
+        full = (n // batch_size) * batch_size
+        for s in range(0, full, batch_size):
+            yield {k: v[s:s + batch_size] for k, v in shard.items()}
+        if n > full:
+            carry = {k: v[full:] for k, v in shard.items()}
+    if carry is not None:
+        n_valid = len(next(iter(carry.values())))
+        pad = batch_size - n_valid
+        out = {k: np.concatenate([v] + [v[-1:]] * pad)
+               for k, v in carry.items()}
+        out["_n_valid"] = n_valid
+        yield out
 
 
 def main(argv=None):
@@ -101,11 +122,25 @@ def main(argv=None):
                    help="keep the per-point offset targets (train-only)")
     p.add_argument("--compress", action="store_true",
                    help="deflate shards (smaller, ~3x slower to read)")
+    p.add_argument("--occ", action="store_true",
+                   help="pack the Occlusion-LineMOD test split: "
+                        "--data_root is an OCCLUSION_LINEMOD checkout "
+                        "(evaluate the shards with apps.evaluate "
+                        "--packed_dir)")
+    p.add_argument("--lm_root", default="",
+                   help="with --occ: Linemod_preprocessed checkout for "
+                        "object meshes (defaults to --data_root)")
     args = p.parse_args(argv)
+    if args.occ and args.dataset != "linemod":
+        raise SystemExit("--occ requires --dataset linemod")
     if args.dataset == "ycb":
         from pvn3d_tpu.data.ycb import YCBDataset
         ds = YCBDataset(args.data_root, split="test",
                         fill_depth=not args.no_fill_depth)
+    elif args.occ:
+        from pvn3d_tpu.data.occlusion_linemod import OcclusionLineMODDataset
+        ds = OcclusionLineMODDataset(args.data_root, cls_type=args.cls,
+                                     lm_root=args.lm_root or None)
     else:
         from pvn3d_tpu.data.linemod import LineMODDataset
         ds = LineMODDataset(args.data_root, cls_type=args.cls, split="test")

@@ -94,6 +94,10 @@ class Trainer:
         logger = MeterLogger("val")
         count = 0
         for batch in val_batches:
+            batch = dict(batch)
+            # Padded final batch: the duplicate frames weight the interval
+            # mean slightly; dropping them entirely would bias it more.
+            batch.pop("_n_valid", None)
             _, metrics = self.eval_step(self.state, self.put_batch(batch))
             logger.update({k: v for k, v in metrics.items()})
             count += 1

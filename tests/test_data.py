@@ -179,6 +179,27 @@ def test_loader_inline_skips_none_and_collates():
     assert batches[0]["x"].shape == (3, 4)
     seen = np.concatenate([b["x"][:, 0] for b in batches])
     assert 3.0 not in seen.tolist()
+
+
+def test_loader_pads_final_partial_batch():
+    # Epoch mode must not drop the trailing n % batch_size samples:
+    # the final batch is padded (repeat-last) and tagged with the real
+    # count so eval scores every frame at one jitted batch shape.
+    from pvn3d_tpu.data.loader import DataLoader
+    dl = DataLoader(_ToyDS, batch_size=4, num_workers=0)
+    batches = list(dl)
+    assert [b["x"].shape[0] for b in batches] == [4, 4, 4]
+    assert batches[-1]["_n_valid"] == 1   # 9 good samples = 2*4 + 1
+    assert all("_n_valid" not in b for b in batches[:-1])
+    real = np.concatenate(
+        [b["x"][:b.get("_n_valid", len(b["x"])), 0] for b in batches])
+    assert sorted(real.tolist()) == [0., 1., 2., 4., 5., 6., 7., 8., 9.]
+    # pad rows repeat the last real sample
+    assert batches[-1]["x"][1:, 0].tolist() == [9.0, 9.0, 9.0]
+
+    dropped = list(DataLoader(_ToyDS, batch_size=4, num_workers=0,
+                              pad_last=False))
+    assert [b["x"].shape[0] for b in dropped] == [4, 4]
 import numpy as np
 from pvn3d_tpu.data.depth_completion import fill_in_fast, fill_missing
 

@@ -24,11 +24,29 @@ def test_pack_and_iter_roundtrip(tmp_path):
     batches = list(iter_packed_batches(out))
     assert sum(len(b["y"]) for b in batches) == 9
     rebatched = list(iter_packed_batches(out, batch_size=2))
-    # Full shards split into 2s; the final 1-sample shard passes through.
-    assert [len(b["y"]) for b in rebatched] == [2, 2, 2, 2, 1]
+    # Remainders carry across shards; the final partial batch is padded
+    # (repeat-last) and tagged with the real count.
+    assert [len(b["y"]) for b in rebatched] == [2, 2, 2, 2, 2]
+    assert rebatched[-1]["_n_valid"] == 1
+    assert all("_n_valid" not in b for b in rebatched[:-1])
+    real = np.concatenate([b["y"][:b.get("_n_valid", len(b["y"]))]
+                           for b in rebatched])
+    assert sorted(real.tolist()) == [0, 1, 2, 3, 5, 6, 7, 8, 9]
     first = batches[0]
     assert first["x"].shape == (4, 3)
     assert first["y"][0] == 0 and first["y"][3] == 3
+
+
+def test_iter_packed_batches_carries_across_shards(tmp_path):
+    # shard_size 4 with batch 3: 4 % 3 remainders must flow into the next
+    # shard, not be dropped (9 frames -> 3 full batches, no padding).
+    out = str(tmp_path / "packed3")
+    pack_dataset(_DS(), out, shard_size=4)
+    batches = list(iter_packed_batches(out, batch_size=3))
+    assert [len(b["y"]) for b in batches] == [3, 3, 3]
+    assert all("_n_valid" not in b for b in batches)
+    seen = sorted(np.concatenate([b["y"] for b in batches]).tolist())
+    assert seen == [0, 1, 2, 3, 5, 6, 7, 8, 9]
 
 
 def test_step_timer():
