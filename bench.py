@@ -24,7 +24,6 @@ vs_baseline >= 2.
 from __future__ import annotations
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -57,7 +56,10 @@ def main():
     ap.add_argument("--sparse_cnn", action="store_true",
                     help="evaluate the CNN tail at the sampled pixels only "
                          "(parameter-identical; models/pspnet.py)")
+    from pvn3d_tpu.utils.platform import add_platform_args, apply_platform
+    add_platform_args(ap)
     args = ap.parse_args()
+    apply_platform(args)
 
     # Fail fast (instead of hanging) when the TPU tunnel is unreachable —
     # backend init blocks indefinitely on a dead tunnel otherwise.
@@ -93,22 +95,16 @@ def main():
     pose_fn = make_pose_fn(cfg, stacked_mesh_kps("ycb", 22),
                            stacked_class_radii("ycb", 22))
 
-    @jax.jit
-    def run(pc, im, ch):
-        def body(carry, i):
-            out = model.apply(variables, pc + i * 1e-6, im, ch)
-            seg = jnp.argmax(out["seg_logits"], axis=-1).astype(jnp.int32)
-            frame = pose_fn(pc[..., :3], seg, out["ctr_offsets"],
-                            out["kp_offsets"])
-            return carry + jnp.sum(frame.poses), None
-        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(T, dtype=jnp.float32))
-        return acc
+    from pvn3d_tpu.utils.profiling import device_loop_time
 
-    run(pointcloud, rgb, choose).block_until_ready()    # compile
-    t0 = time.perf_counter()
-    run(pointcloud, rgb, choose).block_until_ready()
-    dt = (time.perf_counter() - t0) / T
-    fps = 1.0 / dt
+    def frame_step(i):
+        out = model.apply(variables, pointcloud + i * 1e-6, rgb, choose)
+        seg = jnp.argmax(out["seg_logits"], axis=-1).astype(jnp.int32)
+        frame = pose_fn(pointcloud[..., :3], seg, out["ctr_offsets"],
+                        out["kp_offsets"])
+        return jnp.sum(frame.poses)
+
+    fps = 1.0 / device_loop_time(frame_step, iters=T)
 
     a100 = a100_estimate()
     print(json.dumps({

@@ -75,9 +75,14 @@ def main():
             report[name] = {"ok": r.returncode == 0,
                             "seconds": round(time.time() - t0, 1),
                             "tail": tail}
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # Keep the partial output — after burning a chip-up window
+            # the report must show where the section stalled.
+            partial = ((e.stdout or b"").decode(errors="replace")
+                       + (e.stderr or b"").decode(errors="replace"))
             report[name] = {"ok": False, "seconds": args.timeout,
-                            "tail": ["TIMEOUT"]}
+                            "tail": (["TIMEOUT"]
+                                     + partial.strip().splitlines()[-12:])}
         print("\n".join(report[name]["tail"]), flush=True)
         with open(args.out, "w") as f:
             json.dump(report, f, indent=1)

@@ -38,7 +38,11 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--capacity", type=int, default=2)
+    from pvn3d_tpu.utils.platform import (add_platform_args,
+                                           apply_platform)
+    add_platform_args(ap)
     args = ap.parse_args()
+    apply_platform(args)
     cache.enable_compilation_cache()
 
     cfg = Config()

@@ -14,13 +14,13 @@ with iteration-dependent depth perturbation, synced once.
 from __future__ import annotations
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from pvn3d_tpu.utils.cache import enable_compilation_cache
+from pvn3d_tpu.utils.profiling import device_loop_time
 enable_compilation_cache()
 
 from pvn3d_tpu.config import Config
@@ -49,6 +49,15 @@ def synth_sensor_frame(h=480, w=640, seed=0):
 
 
 def main():
+    import argparse
+
+    from pvn3d_tpu.utils.platform import add_platform_args, apply_platform
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--iters", type=int, default=T)
+    add_platform_args(ap)
+    args = ap.parse_args()
+    apply_platform(args)
+
     cfg = Config.ycb()
     model = PVN3D(cfg=cfg.model, train=False)
     rgb_np, depth_np, k_np = synth_sensor_frame(
@@ -66,24 +75,18 @@ def main():
     pose_fn = make_pose_fn(cfg, stacked_mesh_kps("ycb", 22),
                            stacked_class_radii("ycb", 22))
 
-    @jax.jit
-    def run(im, dp, ck):
-        def body(carry, i):
-            b = build_inference_batch_device(
-                im, dp + i * 1e-6, ck, jax.random.fold_in(key, i.astype(
-                    jnp.int32)), n_sample=n_sample)
-            out = model.apply(variables, b["pointcloud"], im, b["choose"])
-            seg = jnp.argmax(out["seg_logits"], axis=-1).astype(jnp.int32)
-            frame = pose_fn(b["pointcloud"][..., :3], seg,
-                            out["ctr_offsets"], out["kp_offsets"])
-            return carry + jnp.sum(frame.poses), None
-        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(T, dtype=jnp.float32))
-        return acc
+    def frame_step(i):
+        b = build_inference_batch_device(
+            rgb, depth + i * 1e-6, cam_k,
+            jax.random.fold_in(key, i.astype(jnp.int32)),
+            n_sample=n_sample)
+        out = model.apply(variables, b["pointcloud"], rgb, b["choose"])
+        seg = jnp.argmax(out["seg_logits"], axis=-1).astype(jnp.int32)
+        frame = pose_fn(b["pointcloud"][..., :3], seg,
+                        out["ctr_offsets"], out["kp_offsets"])
+        return jnp.sum(frame.poses)
 
-    run(rgb, depth, cam_k).block_until_ready()    # compile
-    t0 = time.perf_counter()
-    run(rgb, depth, cam_k).block_until_ready()
-    dt = (time.perf_counter() - t0) / T
+    dt = device_loop_time(frame_step, iters=args.iters)
     print(json.dumps({
         "metric": "sensor_to_pose_fps_per_chip",
         "value": round(1.0 / dt, 3),

@@ -56,7 +56,11 @@ def main(argv=None):
                    help="tiny model config (CPU-mesh plumbing check)")
     p.add_argument("--per_device_batch", type=int, default=2)
     p.add_argument("--steps", type=int, default=5)
+    from pvn3d_tpu.utils.platform import (add_platform_args,
+                                           apply_platform)
+    add_platform_args(p)
     args = p.parse_args(argv)
+    apply_platform(args)
 
     from pvn3d_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()

@@ -48,7 +48,11 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--stages", nargs="+", default=list(ALL_STAGES),
                    choices=ALL_STAGES)
+    from pvn3d_tpu.utils.platform import (add_platform_args,
+                                           apply_platform)
+    add_platform_args(p)
     args = p.parse_args(argv)
+    apply_platform(args)
 
     cfg = Config.ycb()
     mc = cfg.model

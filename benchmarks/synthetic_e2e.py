@@ -49,7 +49,11 @@ def main(argv=None):
                    help="save trained params to this .npz for reuse")
     p.add_argument("--load_ckpt", default="",
                    help="skip training; load params from --save_ckpt output")
+    from pvn3d_tpu.utils.platform import (add_platform_args,
+                                           apply_platform)
+    add_platform_args(p)
     args = p.parse_args(argv)
+    apply_platform(args)
 
     from pvn3d_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()

@@ -70,7 +70,11 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config (CPU smoke of the harness itself)")
+    from pvn3d_tpu.utils.platform import (add_platform_args,
+                                           apply_platform)
+    add_platform_args(ap)
     args = ap.parse_args()
+    apply_platform(args)
 
     if args.tiny:
         import __graft_entry__ as graft

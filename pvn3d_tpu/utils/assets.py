@@ -183,7 +183,8 @@ def read_ply_vertices(path: str) -> np.ndarray:
             "short": "i2", "ushort": "u2", "int": "i4", "int32": "i4",
             "uint": "u4", "uint32": "u4",
         }
-        dt = np.dtype([(n, "<" + type_map[t]) for t, n in props])
+        endian = ">" if "big_endian" in fmt else "<"
+        dt = np.dtype([(n, endian + type_map[t]) for t, n in props])
         data = np.frombuffer(f.read(dt.itemsize * n_vertex), dtype=dt)
         return np.stack(
             [data["x"], data["y"], data["z"]], axis=1).astype(np.float32)

@@ -137,3 +137,19 @@ def test_linemod_render_pkl_item(fake_lm_root, tmp_path):
                         spec=FrameSpec(n_sample_points=1024))
     s = ds.get_item(pkl_path)
     assert s is not None and s["pointcloud"].shape == (1024, 9)
+
+
+def test_read_ply_vertices_both_endiannesses(tmp_path):
+    # Binary PLYs declare their byte order in the header; both must
+    # decode to the same coordinates (big-endian was silently read as
+    # little-endian before).
+    from pvn3d_tpu.utils.assets import read_ply_vertices
+    verts = np.array([[1.5, -2.25, 3.0], [0.125, 4.5, -6.0]], np.float32)
+    for tag, end in [("binary_little_endian", "<"),
+                     ("binary_big_endian", ">")]:
+        hdr = (f"ply\nformat {tag} 1.0\nelement vertex 2\n"
+               "property float x\nproperty float y\nproperty float z\n"
+               "end_header\n").encode()
+        p = tmp_path / f"{tag}.ply"
+        p.write_bytes(hdr + verts.astype(end + "f4").tobytes())
+        np.testing.assert_array_equal(read_ply_vertices(str(p)), verts)
