@@ -34,6 +34,14 @@ def main(argv=None):
                    help="override fps_groups for the EVAL pipeline only "
                         "(deployment scenario: weights trained exact, "
                         "inference sharded)")
+    p.add_argument("--query_mode", default="",
+                   help="override PointNet2Config.query_mode for train AND "
+                        "eval ('pallas' validates the fused residue-class "
+                        "kernel's neighbor composition end-to-end)")
+    p.add_argument("--eval_query_mode", default="",
+                   help="override query_mode for the EVAL pipeline only "
+                        "(deployment scenario: weights trained with approx, "
+                        "inference on the pallas kernel)")
     p.add_argument("--query_compute", default="",
                    help="override PointNet2Config.query_compute for EVAL "
                         "('bf16' validates the halved-cost distance "
@@ -75,10 +83,15 @@ def main(argv=None):
     n_points = args.n_points or cfg.model.n_sample_points
     cfg = dataclasses.replace(
         cfg, train=TrainConfig(base_lr=args.lr, max_lr=args.lr))
+    train_pn_over = {}
     if args.fps_groups > 1:
+        train_pn_over["fps_groups"] = args.fps_groups
+    if args.query_mode:
+        train_pn_over["query_mode"] = args.query_mode
+    if train_pn_over:
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, pointnet2=dataclasses.replace(
-                cfg.model.pointnet2, fps_groups=args.fps_groups)))
+                cfg.model.pointnet2, **train_pn_over)))
 
     world = SyntheticWorld(n_classes=4,
                            n_keypoints=cfg.model.n_keypoints, seed=0)
@@ -128,6 +141,8 @@ def main(argv=None):
     pn_over = {}
     if args.eval_fps_groups:
         pn_over["fps_groups"] = args.eval_fps_groups
+    if args.eval_query_mode:
+        pn_over["query_mode"] = args.eval_query_mode
     if args.query_compute:
         pn_over["query_compute"] = args.query_compute
     if args.query_recall:
