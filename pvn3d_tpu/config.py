@@ -98,8 +98,17 @@ class PointNet2Config:
     input_channels: int = 6          # rgb + normal features per point
     use_xyz: bool = True
     # Neighbor-selection mode: "auto" (approx_min_k on TPU, exact top_k
-    # elsewhere), "exact", or "approx".
+    # elsewhere), "exact", "approx", or "pallas" (fused residue-class
+    # ball-query kernel, ops/pallas/query.py).
     query_mode: str = "auto"
+    # FP-stage 3-NN interpolation kernel, independent of the ball query:
+    # "auto" resolves to the fused exact 3-NN+IDW pallas kernel on TPU
+    # (ops/pallas/interp.py — exact, grads match XLA, and measured faster
+    # at every FP level: 0.75 vs 1.02 ms at n=12288/C=256 down to 0.46 vs
+    # 0.54 ms at n=512/C=1024 on v5-lite, benchmarks/fp_bench.py) and to
+    # exact top_k elsewhere; "exact"/"approx" force the XLA three_nn
+    # formulation, "pallas" forces the fused kernel.
+    interp_mode: str = "auto"
     # Sharded FPS: sort by the widest axis, cut into G contiguous
     # equal-count slabs, run G parallel FPS chains of m/G steps each
     # (ops/sampling.py::_fps_grouped).  1 = reference-exact serial FPS.

@@ -114,6 +114,12 @@ class FeaturePropagation(nn.Module):
     train: bool = True
     dtype: jnp.dtype = jnp.float32
     query_mode: str = "auto"
+    # 3-NN interpolation kernel (PointNet2Config.interp_mode): decoupled
+    # from query_mode because the fused kernel is EXACT (no neighbor-
+    # composition change) and wins at every FP level on TPU, while the
+    # pallas ball query changes the neighbor subsample and is gated on
+    # accuracy validation.
+    interp_mode: str = "auto"
     # Eval-only matmul-before-interpolate: IDW interpolation is a
     # pointwise linear blend, so the first SharedMLP layer's known-side
     # term satisfies Dense_0(interp(known)) == interp(Dense_0(known)) —
@@ -126,7 +132,12 @@ class FeaturePropagation(nn.Module):
 
     def _interp(self, unknown_xyz, known_xyz, feats):
         """3-NN IDW blend of (B, m, C) ``feats`` onto unknown_xyz."""
-        if self.query_mode == "pallas":
+        mode = self.interp_mode
+        if mode == "auto":
+            mode = ("pallas" if (self.query_mode == "pallas"
+                                 or jax.default_backend() == "tpu")
+                    else "auto")
+        if mode == "pallas":
             # Fused exact 3-NN + IDW blend (ops/pallas/interp.py): no
             # (n, 3, C) HBM intermediate; grads reach feats only
             # (coords are data in every PVN3D use).
@@ -135,7 +146,7 @@ class FeaturePropagation(nn.Module):
                 unknown_xyz, known_xyz, feats.astype(jnp.float32),
                 1e-8, jax.default_backend() != "tpu")
             return interp.astype(self.dtype)
-        dist, idx = three_nn(unknown_xyz, known_xyz, mode=self.query_mode)
+        dist, idx = three_nn(unknown_xyz, known_xyz, mode=mode)
         w = idw_weights(dist)
         return three_interpolate(
             feats.astype(jnp.float32), idx, w).astype(self.dtype)
@@ -197,6 +208,7 @@ class PointNet2MSG(nn.Module):
             l_feats[li] = FeaturePropagation(
                 widths=self.cfg.fp_mlps[li], train=self.train,
                 dtype=self.dtype, query_mode=self.cfg.query_mode,
+                interp_mode=self.cfg.interp_mode,
                 precompute_first=self.cfg.fp_precompute_first,
                 name=f"fp{li}")(
                     l_xyz[li], l_xyz[li + 1], l_feats[li], l_feats[li + 1],

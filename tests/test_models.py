@@ -264,6 +264,27 @@ class TestPallasQueryModel:
         np.testing.assert_allclose(outs["pallas"], outs["exact"],
                                    rtol=2e-4, atol=2e-4)
 
+    def test_interp_mode_decoupled_from_query_mode(self):
+        """interp_mode='pallas' swaps ONLY the FP interpolation for the
+        fused exact 3-NN kernel while the SA ball query stays exact —
+        output must match the all-exact trunk up to the fused IDW blend's
+        f32 dot reassociation (the kernel itself is exact,
+        tests/test_pallas.py::test_matches_exact_path)."""
+        from pvn3d_tpu.models.pointnet2 import PointNet2MSG
+        import dataclasses
+        cfg = small_config().pointnet2
+        rng = np.random.RandomState(3)
+        pc = jnp.asarray(rng.uniform(-1, 1, (2, 128, 6)).astype(np.float32))
+        outs = {}
+        for imode in ("exact", "pallas"):
+            c = dataclasses.replace(cfg, query_mode="exact",
+                                    interp_mode=imode)
+            m = PointNet2MSG(cfg=c, train=False)
+            vars_ = m.init(jax.random.PRNGKey(0), pc)
+            outs[imode] = np.asarray(m.apply(vars_, pc))
+        np.testing.assert_allclose(outs["pallas"], outs["exact"],
+                                   rtol=2e-4, atol=2e-4)
+
 
 class TestSAPrecomputeFirst:
     def test_eval_forward_matches_standard_path(self):
