@@ -54,8 +54,11 @@ def main():
                     help="override CNNConfig.resize_method "
                          "(matmul/lerp/matmul_packed)")
     ap.add_argument("--sparse_cnn", action="store_true",
-                    help="evaluate the CNN tail at the sampled pixels only "
-                         "(parameter-identical; models/pspnet.py)")
+                    help="force the sparse CNN tail (now the eval default; "
+                         "flag kept for A/B symmetry)")
+    ap.add_argument("--dense_cnn", action="store_true",
+                    help="force the dense CNN tail + gather (A/B arm; "
+                         "sparse is the eval default, models/pspnet.py)")
     from pvn3d_tpu.utils.platform import add_platform_args, apply_platform
     add_platform_args(ap)
     args = ap.parse_args()
@@ -84,7 +87,8 @@ def main():
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, cnn=dataclasses.replace(
                 cfg.model.cnn, resize_method=args.resize_method)))
-    model = PVN3D(cfg=cfg.model, train=False, sparse_cnn=args.sparse_cnn)
+    sparse = True if args.sparse_cnn else (False if args.dense_cnn else None)
+    model = PVN3D(cfg=cfg.model, train=False, sparse_cnn=sparse)
     batch = synthetic_batch(cfg, batch_size=1, seed=0)
     pointcloud = jnp.asarray(batch["pointcloud"])
     rgb = jnp.asarray(batch["rgb"])

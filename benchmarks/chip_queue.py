@@ -42,7 +42,7 @@ SECTIONS = [
     ("bench_lerp", [sys.executable, "bench.py", "--resize_method", "lerp"]),
     ("bench_packed", [sys.executable, "bench.py",
                       "--resize_method", "matmul_packed"]),
-    ("bench_sparse_cnn", [sys.executable, "bench.py", "--sparse_cnn"]),
+    ("bench_dense_cnn", [sys.executable, "bench.py", "--dense_cnn"]),
     ("raw_pipeline", [sys.executable, "-m",
                       "benchmarks.raw_pipeline_bench"]),
     ("train_steps", [sys.executable, "-m", "benchmarks.train_bench",

@@ -74,7 +74,7 @@ def main(argv=None):
     want = set(args.stages)
 
     if {"model_dense", "model_sparse"} & want:
-        dense = PVN3D(cfg=mc, train=False)
+        dense = PVN3D(cfg=mc, train=False, sparse_cnn=False)
         variables = jax.jit(dense.init)(rng, pc, rgb, choose)
         if "model_dense" in want:
             time_stage("model_dense", lambda i: jnp.sum(dense.apply(

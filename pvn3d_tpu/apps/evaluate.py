@@ -48,8 +48,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "~70 ms/frame host loader bottleneck")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sparse_cnn", action="store_true",
-                   help="evaluate the CNN tail at the sampled pixels only "
-                        "(parameter-identical sparse path, models/pspnet.py)")
+                   help="force the sparse CNN tail (now the eval default; "
+                        "flag kept for A/B symmetry)")
+    p.add_argument("--dense_cnn", action="store_true",
+                   help="force the dense CNN tail + gather (A/B arm; "
+                        "sparse is the eval default, models/pspnet.py)")
     p.add_argument("--platform", default="",
                    help="force a jax backend (e.g. 'cpu') — the env var "
                         "alone cannot override this image's pre-registered "
@@ -100,7 +103,10 @@ def main(argv=None):
     else:
         state = CheckpointManager(args.checkpoint_dir).restore(state) or state
         print(f"evaluating from step {int(state.step)}", flush=True)
-    eval_model = model.clone(train=False, sparse_cnn=args.sparse_cnn)
+    eval_model = model.clone(
+        train=False,
+        sparse_cnn=(True if args.sparse_cnn
+                    else (False if args.dense_cnn else None)))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     if is_lm:

@@ -224,6 +224,12 @@ class ModelConfig:
     image_height: int = 480
     image_width: int = 640
     compute_dtype: str = "bfloat16"   # MXU-friendly; params stay f32
+    # Evaluate the CNN tail (last PSP upsample + embedding head) only at
+    # the N sampled pixels in eval mode.  Parameter-identical and
+    # output-equivalent to dense-then-gather (tests/test_sparse_cnn.py);
+    # measured 80.0 vs 75.9 fps full-pipeline on v5-lite (chip_queue).
+    # Train mode always runs dense (batch stats over the full map).
+    sparse_cnn_eval: bool = True
 
 
 # ---------------------------------------------------------------------------

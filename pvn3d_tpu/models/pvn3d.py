@@ -15,7 +15,7 @@ Outputs (matching reference shapes at pvn3d.py:299-309):
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -77,12 +77,13 @@ class PredictionHead(nn.Module):
 
 
 class PVN3D(nn.Module):
-    """Full model.  ``sparse_cnn=True`` (inference) evaluates the CNN tail
-    only at the sampled pixels — identical parameters and outputs to the
-    dense gather path (see PSPNetEmbedding)."""
+    """Full model.  ``sparse_cnn`` evaluates the CNN tail only at the
+    sampled pixels — identical parameters and outputs to the dense gather
+    path (see PSPNetEmbedding).  None = auto: ModelConfig.sparse_cnn_eval
+    in eval mode, always dense in train mode (full-map batch stats)."""
     cfg: ModelConfig
     train: bool = True
-    sparse_cnn: bool = False
+    sparse_cnn: Optional[bool] = None
 
     @nn.compact
     def __call__(self, pointcloud, rgb, choose, bn_momentum=0.1):
@@ -113,7 +114,9 @@ class PVN3D(nn.Module):
             resize_method=cfg.cnn.resize_method,
             train=self.train, dtype=dtype, name="cnn")
 
-        if self.sparse_cnn:
+        use_sparse = (self.sparse_cnn if self.sparse_cnn is not None
+                      else (not self.train and cfg.sparse_cnn_eval))
+        if use_sparse:
             rgb_emb, rgb_seg = cnn(rgb.astype(dtype), bn_momentum,
                                    choose=choose.astype(jnp.int32))
         else:

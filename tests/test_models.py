@@ -160,7 +160,9 @@ class TestPVN3D:
     def model_and_vars(self):
         from pvn3d_tpu.models import PVN3D
         cfg = small_config()
-        model = PVN3D(cfg=cfg, train=False)
+        # Dense CNN tail: this fixture tests the dense output contract
+        # (rgb_seg map); the sparse eval default is covered below.
+        model = PVN3D(cfg=cfg, train=False, sparse_cnn=False)
         b, n = 1, cfg.n_sample_points
         key = jax.random.PRNGKey(0)
         pcld = jax.random.normal(key, (b, n, 9)) * 0.3
@@ -179,6 +181,19 @@ class TestPVN3D:
         assert out["rgb_seg"].shape == (b, 64, 64, cfg.n_classes)
         for v in out.values():
             assert np.all(np.isfinite(np.asarray(v)))
+
+    def test_eval_default_is_sparse_and_equivalent(self, model_and_vars):
+        """sparse_cnn=None resolves to ModelConfig.sparse_cnn_eval (True)
+        in eval mode: no dense seg map, same head outputs."""
+        from pvn3d_tpu.models import PVN3D
+        dense_model, vars_, cfg, (pcld, rgb, choose) = model_and_vars
+        auto = PVN3D(cfg=cfg, train=False)
+        out_a = auto.apply(vars_, pcld, rgb, choose)
+        assert out_a["rgb_seg"] is None
+        out_d = dense_model.apply(vars_, pcld, rgb, choose)
+        np.testing.assert_allclose(np.asarray(out_a["seg_logits"]),
+                                   np.asarray(out_d["seg_logits"]),
+                                   atol=1e-4)
 
     def test_fusion_dim(self, model_and_vars):
         # The fused feature must be 1792-d with the real config widths

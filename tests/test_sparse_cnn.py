@@ -33,7 +33,7 @@ def test_pvn3d_sparse_matches_dense():
     batch = synthetic_batch(cfg, batch_size=2,
                             n_points=cfg.model.n_sample_points,
                             height=64, width=64)
-    dense = PVN3D(cfg=cfg.model, train=False)
+    dense = PVN3D(cfg=cfg.model, train=False, sparse_cnn=False)
     variables = jax.jit(dense.init)(
         jax.random.PRNGKey(0), jnp.asarray(batch["pointcloud"]),
         jnp.asarray(batch["rgb"]), jnp.asarray(batch["choose"]))
