@@ -70,7 +70,8 @@ def main():
         exact = ball_query_multi(lvl.radii, lvl.nsamples, xyz, cen,
                                  mode="exact")
         pal = ball_query_pallas(lvl.radii, lvl.nsamples, xyz, cen,
-                                capacity=args.capacity)
+                                capacity=args.capacity,
+                                interpret=jax.default_backend() != "tpu")
         recalls = []
         for e, p in zip(exact, pal):
             e, p = np.asarray(e[0]), np.asarray(p[0])

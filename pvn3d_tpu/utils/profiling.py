@@ -71,14 +71,20 @@ def device_loop_time(fn: Callable[[jnp.ndarray], jnp.ndarray],
     divided across ``iters`` — use iters >= 50 when measuring ops cheaper
     than ~10 ms or the floor dominates (measured: a trivial (480,640) sum
     reads 2.7 ms at iters=10, 0.27 ms at iters=100).
+
+    The timed dispatch carries a salt input so it is never bit-identical
+    to the warmup dispatch: the tunnel memoizes same-input calls of the
+    same executable, and a memoized replay reads as ~3 us/iter (caught
+    live: stage_breakdown's first two stages returned 0.003 ms while
+    later stages of the same run measured honestly).
     """
     @jax.jit
-    def run():
-        acc, _ = jax.lax.scan(lambda c, i: (c + fn(i), None), 0.0,
-                              jnp.arange(iters, dtype=jnp.float32))
+    def run(salt):
+        acc, _ = jax.lax.scan(lambda c, i: (c + fn(i), None), salt,
+                              jnp.arange(iters, dtype=jnp.float32) + salt)
         return acc
 
-    run().block_until_ready()
+    run(jnp.float32(0.0)).block_until_ready()
     t0 = time.perf_counter()
-    run().block_until_ready()
+    run(jnp.float32(1.0)).block_until_ready()
     return (time.perf_counter() - t0) / iters
