@@ -97,8 +97,10 @@ def build_targets_device(cld: jnp.ndarray, labels: jnp.ndarray,
     """
     r = rts[:, :, :3]                                    # (I, 3, 3)
     t = rts[:, :, 3]                                     # (I, 3)
-    kps_cam = jnp.einsum("ikc,idc->ikd", mesh_kps, r) + t[:, None, :]
-    ctr_cam = jnp.einsum("ic,idc->id", mesh_ctrs, r) + t
+    kps_cam = jnp.einsum("ikc,idc->ikd", mesh_kps, r,
+                         precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
+    ctr_cam = jnp.einsum("ic,idc->id", mesh_ctrs, r,
+                         precision=jax.lax.Precision.HIGHEST) + t
 
     # Label value -> instance row (or -1).  Padded slots (cls 0) only
     # write lut[0], which `labels > 0` below never reads.

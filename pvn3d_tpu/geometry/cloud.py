@@ -10,6 +10,7 @@ pipeline.  Note the reference's axis quirk: its ``xmap`` indexes rows and
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,7 +61,8 @@ def project_points(p3d: jnp.ndarray, k: jnp.ndarray,
     Reference: basic_utils.py:306-313 (project_p3d).
     """
     p3d = p3d * cam_scale
-    uvw = jnp.einsum("...nc,dc->...nd", p3d, jnp.asarray(k, jnp.float32))
+    uvw = jnp.einsum("...nc,dc->...nd", p3d, jnp.asarray(k, jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
     # Sign-preserving divisor guard: the reference divides by z directly,
     # so points behind the camera mirror (negative z) rather than blow up
     # toward +inf; only |z| ~ 0 is clamped to avoid inf/nan.

@@ -66,8 +66,12 @@ def cal_adds(pred_pose: jnp.ndarray, gt_pose: jnp.ndarray, pts: jnp.ndarray,
     def body(gt_c):
         # gt_c: (..., chunk, 3)
         gt_sq = jnp.sum(gt_c * gt_c, axis=-1)   # (..., chunk)
+        # HIGHEST precision: the MXU default truncates f32 to bf16, adding
+        # ~1e-2-scale noise to d^2 — several mm on the reported ADD-S
+        # distances (see ops/grouping.py).  K=3, so full precision is free.
         cross = jnp.einsum("...ic,...jc->...ij", gt_c, pred,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
         d2 = gt_sq[..., :, None] - 2.0 * cross + pred_sq_inf[..., None, :]
         return jnp.min(d2, axis=-1)             # (..., chunk)
 

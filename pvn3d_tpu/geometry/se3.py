@@ -11,6 +11,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Pose estimation runs in f32 end-to-end: the TPU MXU's default matmul
+# precision truncates f32 operands to bf16 (~2^-9 relative), which rotates
+# fitted poses by ~0.2% and shifts transformed points by millimeters —
+# material against mm-scale ADD metrics.  Every contraction here is tiny
+# (3x3 outputs or K=3), so full precision is free.
+_HI = jax.lax.Precision.HIGHEST
+
 
 def best_fit_transform(src: jnp.ndarray, dst: jnp.ndarray,
                        weights: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -39,23 +46,27 @@ def best_fit_transform(src: jnp.ndarray, dst: jnp.ndarray,
     wsum = jnp.maximum(w.sum(axis=-1, keepdims=True), 1e-12)
     wn = w / wsum                                     # (..., N)
 
-    centroid_src = jnp.einsum("...n,...nc->...c", wn, src)
-    centroid_dst = jnp.einsum("...n,...nc->...c", wn, dst)
+    centroid_src = jnp.einsum("...n,...nc->...c", wn, src, precision=_HI)
+    centroid_dst = jnp.einsum("...n,...nc->...c", wn, dst, precision=_HI)
     src_c = src - centroid_src[..., None, :]
     dst_c = dst - centroid_dst[..., None, :]
 
     # Cross-covariance H = src_c^T diag(w) dst_c  (3x3), batched.
-    h = jnp.einsum("...nc,...n,...nd->...cd", src_c, wn, dst_c)
+    h = jnp.einsum("...nc,...n,...nd->...cd", src_c, wn, dst_c,
+                   precision=_HI)
     u, _, vt = jnp.linalg.svd(h)
     # Reflection fix: flip the last singular vector when det < 0.
     det = jnp.linalg.det(jnp.einsum("...ij,...kj->...ik",
-                                    _transpose(vt), _transpose(u)))
+                                    _transpose(vt), _transpose(u),
+                                    precision=_HI))
     sign = jnp.sign(det)
     sign = jnp.where(sign == 0, 1.0, sign)
     d = jnp.ones(vt.shape[:-2] + (3,), jnp.float32)
     d = d.at[..., -1].set(sign)
-    r = jnp.einsum("...ji,...j,...jk->...ik", vt, d, _transpose(u))
-    t = centroid_dst - jnp.einsum("...ij,...j->...i", r, centroid_src)
+    r = jnp.einsum("...ji,...j,...jk->...ik", vt, d, _transpose(u),
+                   precision=_HI)
+    t = centroid_dst - jnp.einsum("...ij,...j->...i", r, centroid_src,
+                                  precision=_HI)
     return jnp.concatenate([r, t[..., :, None]], axis=-1)
 
 
@@ -67,7 +78,8 @@ def transform_points(pose: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply (..., 3, 4) pose to (..., N, 3) points."""
     r = pose[..., :3, :3]
     t = pose[..., :3, 3]
-    return jnp.einsum("...nc,...dc->...nd", pts, r) + t[..., None, :]
+    return jnp.einsum("...nc,...dc->...nd", pts, r,
+                      precision=_HI) + t[..., None, :]
 
 
 def compose_rt(r: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:

@@ -27,7 +27,8 @@ from pvn3d_tpu.inference.meanshift import mean_shift_fit
 
 def compose_poses(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(..., 3, 4) composition: result = a ∘ b (apply b first)."""
-    r = jnp.einsum("...ij,...jk->...ik", a[..., :3, :3], b[..., :3, :3])
+    r = jnp.einsum("...ij,...jk->...ik", a[..., :3, :3], b[..., :3, :3],
+                   precision=jax.lax.Precision.HIGHEST)
     t = jnp.einsum("...ij,...j->...i", a[..., :3, :3], b[..., :3, 3]) \
         + a[..., :3, 3]
     return jnp.concatenate([r, t[..., :, None]], axis=-1)
@@ -62,7 +63,8 @@ def icp_refine(mesh_pts: jnp.ndarray, mesh_valid: jnp.ndarray,
         src_sq = jnp.sum(src * src, axis=-1)
         src_sq = jnp.where(mesh_valid, src_sq, big)
         cross = jnp.einsum("bkc,bmc->bkm", scene_pts, src,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
         sc_sq = jnp.sum(scene_pts * scene_pts, axis=-1)
         d2 = sc_sq[..., None] - 2.0 * cross + src_sq[:, None, :]
         idx = jnp.argmin(d2, axis=-1)                      # (B, K)
@@ -141,7 +143,8 @@ def propagate_labels_fullres(cloud_flat: jnp.ndarray, valid: jnp.ndarray,
 
     def one_chunk(_, block):
         cross = jnp.einsum("pc,nc->pn", block, sample_cld,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
         d2 = s_sq[None, :] - 2.0 * cross    # + |block|² omitted: argmin-inv
         return None, jnp.argmin(d2, axis=-1).astype(jnp.int32)
 

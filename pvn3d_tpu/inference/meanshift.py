@@ -42,8 +42,13 @@ def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(..., I, 3), (..., J, 3) -> (..., I, J) squared distances."""
     a_sq = jnp.sum(a * a, axis=-1)
     b_sq = jnp.sum(b * b, axis=-1)
+    # HIGHEST precision is load-bearing: the MXU default truncates f32 to
+    # bf16, perturbing d^2 by the same order as bandwidth^2 = 2.5e-3 —
+    # enough to move in-bandwidth membership and cluster winners on-chip
+    # (see ops/grouping.py).  K=3 keeps full precision free.
     cross = jnp.einsum("...ic,...jc->...ij", a, b,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(a_sq[..., :, None] - 2.0 * cross + b_sq[..., None, :],
                        0.0)
 
@@ -112,7 +117,8 @@ def mean_shift_fit(points: jnp.ndarray, mask: jnp.ndarray,
         d2 = jnp.sum((points - c[:, None, :]) ** 2, axis=-1)   # (H, K)
         w = jnp.exp(-0.5 * d2 / (bw * bw)) * wmask
         wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-20)
-        return jnp.einsum("hk,hkc->hc", w, points) / wsum
+        return jnp.einsum("hk,hkc->hc", w, points,
+                          precision=jax.lax.Precision.HIGHEST) / wsum
 
     def cond(carry):
         _, it, max_shift = carry
@@ -155,7 +161,8 @@ def _fit_chunk_dense(args, *, bandwidth: float, max_iter: int):
         d2 = _pairwise_sqdist(c_pts, a)               # (c, K, K)
         w = inv_norm * jnp.exp(-0.5 * d2 / (bw * bw)) * wmask
         wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-20)
-        return jnp.einsum("cij,cjd->cid", w, a) / wsum
+        return jnp.einsum("cij,cjd->cid", w, a,
+                          precision=jax.lax.Precision.HIGHEST) / wsum
 
     def cond(carry):
         _, it, max_shift = carry

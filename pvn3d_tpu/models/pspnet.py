@@ -204,5 +204,12 @@ class PSPNetEmbedding(nn.Module):
         cols = (choose % out_w).astype(jnp.int32)
         pts = self.ups[-1].sparse(x, rows, cols, bn_momentum)  # (B, P, C)
         b, p, c = pts.shape
-        emb = self.final(pts.reshape(b, p, 1, c))[:, :, 0, :]
-        return emb, None
+        pts4 = pts.reshape(b, p, 1, c)
+        emb = self.final(pts4)[:, :, 0, :]
+        # final_seg runs here too — its output is unused downstream (the
+        # reference computes-and-ignores it, pvn3d.py:286), but applying it
+        # keeps the eval-mode variable tree identical to the train/dense
+        # tree, so checkpoints and the torch converter load into either.
+        seg = self.final_seg(pts4)[:, :, 0, :]
+        seg = nn.log_softmax(seg.astype(jnp.float32), axis=-1)
+        return emb, seg

@@ -125,7 +125,14 @@ def ball_query_multi(radii, nsamples, xyz: jnp.ndarray,
                          for i in range(3))
             else:
                 c_sq = jnp.sum(cc.astype(jnp.float32) ** 2, axis=-1)
-                cross = jnp.dot(cc, x.T, preferred_element_type=jnp.float32)
+                # HIGHEST precision is load-bearing: the TPU MXU's default
+                # truncates f32 operands to bf16, perturbing d^2 by ~1e-2
+                # on unit-scale clouds — swamping r^2 = 3e-4 at L0
+                # (measured on-chip: in-radius fraction 0.76 / recall 0.21
+                # before the fix; CPU tests compute exact f32 and can't
+                # see it).  K=3 keeps full precision essentially free.
+                cross = jnp.dot(cc, x.T, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
                 d2 = c_sq[:, None] - 2.0 * cross + x_sq[None, :]
             iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
             outs = []

@@ -53,7 +53,11 @@ def _three_nn_single(unknown, known, chunk, mode):
 
     def body(u_c):
         u_sq = jnp.sum(u_c * u_c, axis=-1)               # (chunk,)
-        cross = u_c @ known.T                            # (chunk, m)
+        # HIGHEST precision: the MXU default truncates f32 to bf16,
+        # corrupting d^2 enough to reorder NN selection (see
+        # ops/grouping.py); K=3 makes full precision free.
+        cross = jnp.dot(u_c, known.T,
+                        precision=jax.lax.Precision.HIGHEST)  # (chunk, m)
         d2 = u_sq[:, None] - 2.0 * cross + k_sq[None, :]
         if mode == "approx":
             nd2, idx = jax.lax.approx_min_k(d2, 3, recall_target=0.99)
@@ -79,7 +83,11 @@ def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     _, n, _ = idx.shape
     flat = idx.reshape(b, n * 3, 1).astype(jnp.int32)
     gathered = jnp.take_along_axis(features, flat, axis=1).reshape(b, n, 3, c)
-    return jnp.einsum("bnkc,bnk->bnc", gathered, weight)
+    # Full precision: keeps the IDW blend bit-comparable to the numpy
+    # oracle on every backend (3-element contraction — no MXU savings to
+    # give up anyway).
+    return jnp.einsum("bnkc,bnk->bnc", gathered, weight,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def idw_weights(dist: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:

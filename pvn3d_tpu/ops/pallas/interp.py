@@ -50,8 +50,13 @@ def _interp_kernel(m_valid: int, eps: float,
 
     u_sq = jnp.sum(u * u, axis=0)[:, None]         # (Nt, 1)
     k_sq = jnp.sum(k * k, axis=0)[None, :]         # (1, Mp)
+    # HIGHEST precision: the MXU default truncates f32 operands to bf16,
+    # corrupting d^2 by ~1e-2 on unit-scale clouds — enough to reorder
+    # the 3-NN selection (measured on-chip via the ball-query twin,
+    # ops/pallas/query.py).  K=3 makes full precision free here.
     cross = jax.lax.dot_general(
-        u, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        u, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     col = jax.lax.broadcasted_iota(jnp.int32, (nt, mp), 1)
     d2 = u_sq - 2.0 * cross + k_sq
     d2 = jnp.where(col < m_valid, d2, _BIG)
@@ -84,6 +89,11 @@ def _interp_kernel(m_valid: int, eps: float,
     w = recip / jnp.sum(recip, axis=1, keepdims=True)
 
     # Blend as a one-hot-weighted matmul: A[i, j] = sum_k w_ik [j == i_ik].
+    # This matmul stays at default (bf16) MXU precision deliberately: it is
+    # the kernel's dominant FLOP cost (Nt x Mp x C), the features are
+    # upcast from the trunk's bf16 compute (truncation is lossless), and
+    # the ~2^-9 relative rounding of the IDW weights is the same noise
+    # floor as every bf16 matmul downstream.  Selection above is exact.
     a = jnp.zeros((nt, mp), jnp.float32)
     for kk in range(3):
         a = a + jnp.where(col == i3[:, kk:kk + 1], w[:, kk:kk + 1], 0.0)

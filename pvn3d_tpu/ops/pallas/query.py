@@ -66,8 +66,14 @@ def _query_kernel(n_valid: int, radii, nsamples, capacity: int,
 
     x_sq = jnp.sum(x * x, axis=0, keepdims=True)  # (1, Np)
     c_sq = jnp.sum(c * c, axis=0)[:, None]        # (Mt, 1)
+    # HIGHEST precision is mandatory: the MXU's default precision truncates
+    # f32 operands to bf16, whose ~2^-8 relative error on unit-scale clouds
+    # perturbs d2 by ~1e-2 — swamping r^2 = 3e-4 at L0 (measured on-chip:
+    # in_radius_frac 0.76 before the fix; interpret mode hid it by
+    # computing exact f32).  benchmarks/query_validate.py audits this.
     cross = jax.lax.dot_general(
-        c, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        c, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     d2_ref[:, :] = c_sq - 2.0 * cross + x_sq      # (Mt, Np)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (mt, _LANES), 1)

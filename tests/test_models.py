@@ -184,13 +184,22 @@ class TestPVN3D:
 
     def test_eval_default_is_sparse_and_equivalent(self, model_and_vars):
         """sparse_cnn=None resolves to ModelConfig.sparse_cnn_eval (True)
-        in eval mode: no dense seg map, same head outputs."""
+        in eval mode: per-point seg instead of the dense map, same head
+        outputs, and the per-point rgb_seg equals the dense map gathered
+        at ``choose`` (the sparse tail is output-equivalent)."""
         from pvn3d_tpu.models import PVN3D
         dense_model, vars_, cfg, (pcld, rgb, choose) = model_and_vars
         auto = PVN3D(cfg=cfg, train=False)
         out_a = auto.apply(vars_, pcld, rgb, choose)
-        assert out_a["rgb_seg"] is None
         out_d = dense_model.apply(vars_, pcld, rgb, choose)
+        b, n = pcld.shape[0], pcld.shape[1]
+        assert out_a["rgb_seg"].shape == (b, n, cfg.n_classes)
+        dense_flat = np.asarray(out_d["rgb_seg"]).reshape(b, -1,
+                                                          cfg.n_classes)
+        gathered = np.take_along_axis(
+            dense_flat, np.asarray(choose)[..., None], axis=1)
+        np.testing.assert_allclose(np.asarray(out_a["rgb_seg"]), gathered,
+                                   atol=1e-4)
         np.testing.assert_allclose(np.asarray(out_a["seg_logits"]),
                                    np.asarray(out_d["seg_logits"]),
                                    atol=1e-4)

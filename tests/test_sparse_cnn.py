@@ -22,9 +22,15 @@ def test_pspnet_sparse_matches_dense_gather():
     dense_gather = jnp.take_along_axis(
         emb_map.reshape(2, -1, 12), choose[..., None], axis=1)
     sparse, seg_s = mod.apply(variables, rgb, choose=choose)
-    assert seg_s is None
     np.testing.assert_allclose(np.asarray(sparse),
                                np.asarray(dense_gather), atol=2e-5)
+    # The sparse tail also evaluates final_seg per point (keeps the
+    # variable tree identical to the dense/train tree); it must equal the
+    # dense log-softmax map gathered at choose.
+    seg_gather = jnp.take_along_axis(
+        seg.reshape(2, -1, 5), choose[..., None], axis=1)
+    np.testing.assert_allclose(np.asarray(seg_s), np.asarray(seg_gather),
+                               atol=2e-5)
 
 
 def test_pvn3d_sparse_matches_dense():
