@@ -115,10 +115,11 @@ class FeaturePropagation(nn.Module):
     dtype: jnp.dtype = jnp.float32
     query_mode: str = "auto"
     # 3-NN interpolation kernel (PointNet2Config.interp_mode): decoupled
-    # from query_mode because the fused kernel is EXACT (no neighbor-
-    # composition change) and wins at every FP level on TPU, while the
-    # pallas ball query changes the neighbor subsample and is gated on
-    # accuracy validation.
+    # from query_mode because the two kernels were validated separately;
+    # both default to the fused pallas form on TPU (the ball query after
+    # its synthetic-e2e accuracy A/B — ADD-AUC 33.8 vs 32.6 approx on the
+    # same checkpoint — and this one because it is exact and wins at
+    # every FP level, benchmarks/fp_bench.py).
     interp_mode: str = "auto"
     # Eval-only matmul-before-interpolate: IDW interpolation is a
     # pointwise linear blend, so the first SharedMLP layer's known-side

@@ -13,10 +13,13 @@ masked indices* — a selection problem, not a scatter problem.  Scores are
   * ``pallas`` — the fused VMEM-resident kernel
     (``ops.pallas.query.ball_query_pallas``): one d^2 tile on-chip shared
     by every scale, residue-class candidate extraction, no (m, N) HBM
-    round-trips.  Recall meets or beats ``approx`` at 0.99 (see the
-    kernel docstring for the exactness condition).  Opt-in until its
-    on-chip timing is recorded (benchmarks/query_bench.py); flip
-    ``auto`` below once measured faster.
+    round-trips.  The TPU default (``auto``): measured on-chip it is
+    5.7x approx at L0 (0.78 vs 4.43 ms), ~even at the small levels,
+    +45% full-pipeline fps (80 -> 116, bench.py), with 100% in-radius
+    validity and 100% first-ns recall on realistic scanline clouds
+    (benchmarks/query_validate.py) and the best end-to-end accuracy of
+    the three modes on the synthetic e2e world (ADD-AUC 33.8 vs 33.0
+    exact / 32.6 approx, same checkpoint).
   * ``approx`` — ``lax.approx_min_k``, the TPU-optimized two-stage
     reduction (hardware bucketing + exact top-k over candidates).  33x the
     scatter/scan formulation this replaced; on depth-camera clouds the hit
@@ -92,7 +95,7 @@ def ball_query_multi(radii, nsamples, xyz: jnp.ndarray,
     Returns a list of (B, m, nsample_s) int32 index tables, one per scale.
     """
     if mode == "auto":
-        mode = "approx" if jax.default_backend() == "tpu" else "exact"
+        mode = "pallas" if jax.default_backend() == "tpu" else "exact"
     radii = tuple(radii)
     nsamples = tuple(nsamples)
     if mode == "pallas":
