@@ -81,10 +81,12 @@ def _winner_stats(points, mask, bandwidth, chunk):
             counts.reshape(-1)[:h])
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "chunk", "mode"))
+@functools.partial(jax.jit, static_argnames=("max_iter", "chunk", "mode",
+                                              "unroll"))
 def mean_shift_fit(points: jnp.ndarray, mask: jnp.ndarray,
                    bandwidth: float, max_iter: int = 300,
-                   chunk: int = 16, mode: str = "winner"):
+                   chunk: int = 16, mode: str = "winner",
+                   unroll: int = 4):
     """Run masked MeanShift on a batch of padded point sets.
 
     Args:
@@ -95,6 +97,14 @@ def mean_shift_fit(points: jnp.ndarray, mask: jnp.ndarray,
       chunk: hypotheses per (K, K) distance tile.
       mode: "winner" (default; iterate only the winning seed) or "dense"
         (all seeds, the literal reference fixed point).
+      unroll: shift steps per while-loop iteration (winner mode).  Each
+        step is tiny (H*K work) so the loop is latency-bound on TPU;
+        grouping ``unroll`` steps amortizes the per-iteration overhead.
+        Convergence is checked after each group, so up to unroll-1 extra
+        steps run past the reference's per-step stopping rule — each such
+        step moves an already-converged center by < stop = bandwidth*1e-3
+        (0.05 mm at the vote bandwidth), the same sub-threshold slack as
+        the documented dense/winner equivalence.
 
     Returns:
       centers (H, 3): winning mode per problem;
@@ -126,9 +136,12 @@ def mean_shift_fit(points: jnp.ndarray, mask: jnp.ndarray,
 
     def body(carry):
         c, it, _ = carry
-        new_c = shift_once(c)
-        shift = jnp.linalg.norm(new_c - c, axis=-1)
-        return new_c, it + 1, jnp.max(shift)
+        shift = None
+        for _ in range(unroll):
+            new_c = shift_once(c)
+            shift = jnp.linalg.norm(new_c - c, axis=-1)
+            c = new_c
+        return c, it + unroll, jnp.max(shift)
 
     c0, it0, s0 = body((seed, jnp.int32(0), jnp.float32(jnp.inf)))
     centers, _, _ = jax.lax.while_loop(cond, body, (c0, it0, s0))

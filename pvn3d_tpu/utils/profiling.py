@@ -72,11 +72,13 @@ def device_loop_time(fn: Callable[[jnp.ndarray], jnp.ndarray],
     than ~10 ms or the floor dominates (measured: a trivial (480,640) sum
     reads 2.7 ms at iters=10, 0.27 ms at iters=100).
 
-    The timed dispatch carries a salt input so it is never bit-identical
-    to the warmup dispatch: the tunnel memoizes same-input calls of the
-    same executable, and a memoized replay reads as ~3 us/iter (caught
-    live: stage_breakdown's first two stages returned 0.003 ms while
-    later stages of the same run measured honestly).
+    The timed dispatch carries a RANDOM salt input so it is never
+    bit-identical to the warmup dispatch, or to any dispatch of a
+    PREVIOUS process run: the tunnel memoizes same-input calls of the
+    same executable, and with the persistent XLA cache the executable is
+    byte-identical across runs — a fixed salt let a repeated bench.py
+    read 66,000 fps from a memoized replay (a same-process replay reads
+    ~3 us/iter; caught live twice).
     """
     @jax.jit
     def run(salt):
@@ -84,7 +86,9 @@ def device_loop_time(fn: Callable[[jnp.ndarray], jnp.ndarray],
                               jnp.arange(iters, dtype=jnp.float32) + salt)
         return acc
 
-    run(jnp.float32(0.0)).block_until_ready()
+    import random
+    s0 = random.random()
+    run(jnp.float32(s0)).block_until_ready()
     t0 = time.perf_counter()
-    run(jnp.float32(1.0)).block_until_ready()
+    run(jnp.float32(s0 + 1.0 + random.random())).block_until_ready()
     return (time.perf_counter() - t0) / iters
