@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--dense_cnn", action="store_true",
                     help="force the dense CNN tail + gather (A/B arm; "
                          "sparse is the eval default, models/pspnet.py)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="frames per pipeline step (throughput A/B; the "
+                         "headline metric is batch 1)")
     from pvn3d_tpu.utils.platform import add_platform_args, apply_platform
     add_platform_args(ap)
     args = ap.parse_args()
@@ -89,7 +92,7 @@ def main():
                 cfg.model.cnn, resize_method=args.resize_method)))
     sparse = True if args.sparse_cnn else (False if args.dense_cnn else None)
     model = PVN3D(cfg=cfg.model, train=False, sparse_cnn=sparse)
-    batch = synthetic_batch(cfg, batch_size=1, seed=0)
+    batch = synthetic_batch(cfg, batch_size=args.batch, seed=0)
     pointcloud = jnp.asarray(batch["pointcloud"])
     rgb = jnp.asarray(batch["rgb"])
     choose = jnp.asarray(batch["choose"])
@@ -102,13 +105,19 @@ def main():
     from pvn3d_tpu.utils.profiling import device_loop_time
 
     def frame_step(i):
-        out = model.apply(variables, pointcloud + i * 1e-6, rgb, choose)
+        # EVERY consumed tensor input must be salted: a loop-invariant
+        # input lets XLA hoist its whole consumer subgraph out of the
+        # timed scan (caught live: constant rgb hoisted the ENTIRE CNN
+        # out of this benchmark — the pre-round-3 fps numbers measured a
+        # CNN-less pipeline).
+        out = model.apply(variables, pointcloud + i * 1e-6,
+                          rgb + i * 1e-6, choose)
         seg = jnp.argmax(out["seg_logits"], axis=-1).astype(jnp.int32)
         frame = pose_fn(pointcloud[..., :3], seg, out["ctr_offsets"],
                         out["kp_offsets"])
         return jnp.sum(frame.poses)
 
-    fps = 1.0 / device_loop_time(frame_step, iters=T)
+    fps = args.batch / device_loop_time(frame_step, iters=T)
 
     a100 = a100_estimate()
     print(json.dumps({

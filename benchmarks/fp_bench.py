@@ -41,13 +41,18 @@ def main():
         k = u[:, :m] + 0.01
         f = jnp.asarray(rng.randn(args.batch, m, c).astype(np.float32))
 
+        # Salt the known side + features too: loop-invariant k/f let
+        # XLA hoist the XLA path's m-row precomputations (k_sq etc.) out
+        # of the timed scan while the fused pallas_call must recompute
+        # everything — an unfair comparison.
         def xla_step(i, mode):
-            dist, idx = three_nn(u + i * 1e-6, k, mode=mode)
-            out = three_interpolate(f, idx, idw_weights(dist))
+            dist, idx = three_nn(u + i * 1e-6, k + i * 1e-6, mode=mode)
+            out = three_interpolate(f + i * 1e-6, idx, idw_weights(dist))
             return jnp.sum(out)
 
         def fused_step(i):
-            out, _, _ = three_interpolate_fused(u + i * 1e-6, k, f)
+            out, _, _ = three_interpolate_fused(u + i * 1e-6, k + i * 1e-6,
+                                                f + i * 1e-6)
             return jnp.sum(out)
 
         t_fused = device_loop_time(fused_step, args.iters) * 1e3

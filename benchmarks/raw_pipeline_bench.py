@@ -76,11 +76,15 @@ def main():
                            stacked_class_radii("ycb", 22))
 
     def frame_step(i):
+        # Salt rgb too: a loop-invariant rgb would let XLA hoist the
+        # whole CNN trunk out of the timed scan (bench.py caught this
+        # live in round 3).
+        rgb_i = rgb + i * 1e-6
         b = build_inference_batch_device(
-            rgb, depth + i * 1e-6, cam_k,
+            rgb_i, depth + i * 1e-6, cam_k,
             jax.random.fold_in(key, i.astype(jnp.int32)),
             n_sample=n_sample)
-        out = model.apply(variables, b["pointcloud"], rgb, b["choose"])
+        out = model.apply(variables, b["pointcloud"], rgb_i, b["choose"])
         seg = jnp.argmax(out["seg_logits"], axis=-1).astype(jnp.int32)
         frame = pose_fn(b["pointcloud"][..., :3], seg,
                         out["ctr_offsets"], out["kp_offsets"])

@@ -76,13 +76,21 @@ def main(argv=None):
     if {"model_dense", "model_sparse"} & want:
         dense = PVN3D(cfg=mc, train=False, sparse_cnn=False)
         variables = jax.jit(dense.init)(rng, pc, rgb, choose)
+        def model_step(m, i):
+            # Salt BOTH array inputs (constant rgb would let XLA hoist
+            # the CNN out of the timed scan) and consume every head
+            # (summing only seg_logits dead-code-eliminates the kp/ctr
+            # heads).
+            out = m.apply(variables, pc + i * 1e-6, rgb + i * 1e-6,
+                          choose)
+            return (jnp.sum(out["seg_logits"]) + jnp.sum(out["kp_offsets"])
+                    + jnp.sum(out["ctr_offsets"]))
+
         if "model_dense" in want:
-            time_stage("model_dense", lambda i: jnp.sum(dense.apply(
-                variables, pc + i * 1e-6, rgb, choose)["seg_logits"]))
+            time_stage("model_dense", lambda i: model_step(dense, i))
         if "model_sparse" in want:
             sparse = PVN3D(cfg=mc, train=False, sparse_cnn=True)
-            time_stage("model_sparse", lambda i: jnp.sum(sparse.apply(
-                variables, pc + i * 1e-6, rgb, choose)["seg_logits"]))
+            time_stage("model_sparse", lambda i: model_step(sparse, i))
 
     if {"cnn_dense", "cnn_sparse"} & want:
         cnn = PSPNetEmbedding(
