@@ -29,8 +29,8 @@ def compose_poses(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(..., 3, 4) composition: result = a ∘ b (apply b first)."""
     r = jnp.einsum("...ij,...jk->...ik", a[..., :3, :3], b[..., :3, :3],
                    precision=jax.lax.Precision.HIGHEST)
-    t = jnp.einsum("...ij,...j->...i", a[..., :3, :3], b[..., :3, 3]) \
-        + a[..., :3, 3]
+    t = jnp.einsum("...ij,...j->...i", a[..., :3, :3], b[..., :3, 3],
+                   precision=jax.lax.Precision.HIGHEST) + a[..., :3, 3]
     return jnp.concatenate([r, t[..., :, None]], axis=-1)
 
 
