@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--dense_cnn", action="store_true",
                     help="force the dense CNN tail + gather (A/B arm; "
                          "sparse is the eval default, models/pspnet.py)")
+    ap.add_argument("--fuse_up", default="",
+                    help="override CNNConfig.fuse_upsample (on/off) — the "
+                         "eval-mode resize-into-conv upsample restructure")
     ap.add_argument("--batch", type=int, default=1,
                     help="frames per pipeline step (throughput A/B; the "
                          "headline metric is batch 1)")
@@ -90,6 +93,10 @@ def main():
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, cnn=dataclasses.replace(
                 cfg.model.cnn, resize_method=args.resize_method)))
+    if args.fuse_up:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, cnn=dataclasses.replace(
+                cfg.model.cnn, fuse_upsample=args.fuse_up == "on")))
     sparse = True if args.sparse_cnn else (False if args.dense_cnn else None)
     model = PVN3D(cfg=cfg.model, train=False, sparse_cnn=sparse)
     batch = synthetic_batch(cfg, batch_size=args.batch, seed=0)

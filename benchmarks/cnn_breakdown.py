@@ -24,10 +24,12 @@ from pvn3d_tpu.utils import cache
 from pvn3d_tpu.utils.profiling import device_loop_time
 
 
-def _time_module(mod, x, iters, method=None, extra=()):
+def _time_module(mod, x, iters, method=None, extra=(), init_extra=None):
+    # Init always runs the standard __call__ (restructured methods like
+    # PSPUpsample.fused read params and cannot create them).
+    init_extra = extra if init_extra is None else init_extra
     variables = jax.jit(
-        lambda k: mod.init(k, x, *extra, method=method))(
-            jax.random.PRNGKey(0))
+        lambda k: mod.init(k, x, *init_extra))(jax.random.PRNGKey(0))
 
     @jax.jit
     def step(i):
@@ -74,6 +76,8 @@ def main():
         up = PSPUpsample(features=ch, train=False, dtype=dtype,
                          resize_method=cfg.resize_method)
         out[f"up{i + 1}_dense"] = _time_module(up, x, args.iters)
+        out[f"up{i + 1}_fused"] = _time_module(
+            up, x, args.iters, method=PSPUpsample.fused)
         if i == len(cfg.up_channels) - 1:
             # Sparse twin of the last stage at 12288 sampled pixels.
             pix = jnp.asarray(
@@ -82,11 +86,12 @@ def main():
             cols = (pix % w).astype(jnp.int32)
             out["up_last_sparse"] = _time_module(
                 up, x, args.iters, method=PSPUpsample.sparse,
-                extra=(rows, cols))
+                extra=(rows, cols), init_extra=())
         c_in = ch
 
     ms = {k: round(v * 1e3, 3) for k, v in out.items()}
-    dense_total = sum(v for k, v in ms.items() if k != "up_last_sparse")
+    dense_total = sum(v for k, v in ms.items()
+                      if k != "up_last_sparse" and not k.endswith("_fused"))
     print(json.dumps({"stage_ms": ms,
                       "dense_total_ms": round(dense_total, 3),
                       "iters": args.iters}))

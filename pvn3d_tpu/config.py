@@ -208,6 +208,15 @@ class CNNConfig:
     # at C=64, half a lane tile).  Bit-identical results
     # (models/layers.py::resize_bilinear); a perf A/B knob.
     resize_method: str = "matmul"
+    # Eval-mode upsample restructure (models/pspnet.py::PSPUpsample.fused):
+    # fold the 2x resize around the conv-tap matmul so the channel
+    # contraction runs at low resolution (1/4 the conv FLOPs) and the
+    # layout-bound full-res resize disappears.  Same parameters; equal to
+    # the reference graph up to summation-order rounding.  Train mode
+    # always uses the standard graph; the last (full-res) stage always
+    # runs standard (measured slower fused, cnn_breakdown.py).  Measured
+    # v5-lite: up1 1.28 -> 0.74 ms, up2 1.08 -> 0.91 ms.
+    fuse_upsample: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -276,6 +276,28 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
     return jnp.einsum("ow,...hwc->...hoc", ww, x)
 
 
+def shifted_resize_matrix(src: int, dst: int,
+                          align_corners: bool) -> np.ndarray:
+    """(dst, 3*src) stacked bilinear matrices for resize-into-conv fusion.
+
+    Column block ``i`` (i in 0..2, conv-tap index) holds the resize matrix
+    with its rows shifted by ``i - 1``: ``out[r, i*src + j] =
+    R[r + i - 1, j]`` where ``R`` is the plain (dst, src) bilinear matrix
+    and rows outside ``[0, dst)`` are zero (the conv's zero padding on the
+    resized map).  Applying this to tap-contracted features computes
+    ``sum_i shift_{i-1}(resize(z_i))`` in one matmul — see
+    ``PSPUpsample.fused`` (models/pspnet.py).
+    """
+    r = _resize_matrix(src, dst, align_corners)
+    out = np.zeros((dst, 3 * src), np.float32)
+    for i in range(3):
+        d = i - 1
+        lo = max(0, -d)
+        hi = min(dst, dst - d)
+        out[lo:hi, i * src:(i + 1) * src] = r[lo + d:hi + d]
+    return out
+
+
 def _adaptive_pool_matrix(src: int, dst: int) -> np.ndarray:
     """(dst, src) averaging weights with torch AdaptiveAvgPool2d binning."""
     out = np.zeros((dst, src), np.float32)

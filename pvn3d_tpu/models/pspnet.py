@@ -22,7 +22,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from pvn3d_tpu.models.layers import (
-    BatchNorm, PReLU, adaptive_avg_pool, resize_bilinear)
+    BatchNorm, PReLU, adaptive_avg_pool, resize_bilinear,
+    shifted_resize_matrix)
 from pvn3d_tpu.models.resnet import DilatedResNet
 
 
@@ -109,6 +110,43 @@ class PSPUpsample(nn.Module):
         x = self.bn(x, bn_momentum)
         return self.prelu(x)
 
+    def fused(self, x, bn_momentum=0.1):
+        """Dense output via resize-into-conv fusion (same params/function).
+
+        ``conv3x3(pad(resize2x(x)))`` restructured so the channel
+        contraction runs at LOW resolution: with ``z_ij = x @ W[i, j]``
+        (the 9 conv taps as one (C_in, 9*C_out) matmul — 1/4 of the
+        high-res conv FLOPs) and the resize being the separable linear map
+        ``R_h x R_w^T``, the conv output is
+
+            y[r, c] = sum_ij (R_h z_ij R_w^T)[r + i - 1, c + j - 1]
+
+        with out-of-range rows/cols contributing zero (the conv's pad).
+        Both spatial sums fold into single matmuls against the stacked
+        shifted matrices of ``layers.shifted_resize_matrix``.  Equal to
+        ``__call__`` up to f32/bf16 summation-order rounding
+        (tests/test_models.py); eval-mode restructure — train keeps the
+        reference graph.
+        """
+        b, h, w, cin = x.shape
+        kernel = self.conv.variables["params"]["kernel"]   # (3, 3, Cin, Co)
+        bias = self.conv.variables["params"]["bias"]
+        co = kernel.shape[-1]
+        k = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(cin, 9 * co)
+        z = (x.astype(self.dtype) @ k.astype(self.dtype)).reshape(
+            b, h, w, 3, 3, co)
+        rh3 = jnp.asarray(shifted_resize_matrix(h, 2 * h, True), self.dtype)
+        rw3 = jnp.asarray(shifted_resize_matrix(w, 2 * w, True), self.dtype)
+        # H pass over the (tap-i, h) stacked axis.
+        z = jnp.transpose(z, (0, 3, 1, 2, 4, 5)).reshape(b, 3 * h, w, 3, co)
+        t = jnp.einsum("rk,bkwjo->brwjo", rh3, z)
+        # W pass over the (tap-j, w) stacked axis.
+        t = jnp.transpose(t, (0, 1, 3, 2, 4)).reshape(b, 2 * h, 3 * w, co)
+        y = jnp.einsum("cl,brlo->brco", rw3, t)
+        y = y + bias.astype(self.dtype)
+        y = self.bn(y, bn_momentum)
+        return self.prelu(y)
+
     def sparse(self, x, rows, cols, bn_momentum=0.1):
         """Evaluate at output pixels (rows, cols): (B, H, W, C), (B, P) ->
         (B, P, features).  The 3x3 conv input patch is reconstructed by
@@ -159,6 +197,11 @@ class PSPNetEmbedding(nn.Module):
     # "matmul" (static-matrix MXU form) or "lerp" (2-tap gather form);
     # bit-equivalent, layers.py::resize_bilinear.
     resize_method: str = "matmul"
+    # Eval-mode restructure: run the dense upsample stages through
+    # PSPUpsample.fused (resize folded around the conv-tap matmul — the
+    # channel contraction happens at low resolution, 1/4 the conv FLOPs).
+    # Same parameters; equal up to summation-order rounding.
+    fuse_up: bool = False
 
     def setup(self):
         self.trunk = DilatedResNet(layers=self.backbone_layers,
@@ -187,11 +230,20 @@ class PSPNetEmbedding(nn.Module):
         x = self.psp(x)
         x = self.drop_psp(x)
         n_up = len(self.ups)
+        # Param trees are created by the standard path; the fused
+        # restructure only ever runs on already-initialized params.
+        fuse = self.fuse_up and not self.train and not self.is_initializing()
         for i in range(n_up - 1):
-            x = self.ups[i](x, bn_momentum)
+            x = (self.ups[i].fused(x, bn_momentum) if fuse
+                 else self.ups[i](x, bn_momentum))
             x = self.drop_ups[i](x)
 
         if choose is None:
+            # The LAST stage is never fused: at full output resolution with
+            # C_in = C_out = 64 the stacked resize matmuls cost more than
+            # the conv they absorb (measured 1.79 vs 1.29 ms on v5-lite,
+            # benchmarks/cnn_breakdown.py); the win lives in the deep
+            # stages where the channel contraction dominates.
             x = self.ups[-1](x, bn_momentum)
             emb = self.final(x)
             seg = self.final_seg(x)

@@ -112,6 +112,7 @@ class PVN3D(nn.Module):
             dropout_psp=cfg.cnn.dropout_psp, dropout_up=cfg.cnn.dropout_up,
             backbone_layers=cfg.cnn.backbone_layers,
             resize_method=cfg.cnn.resize_method,
+            fuse_up=cfg.cnn.fuse_upsample,
             train=self.train, dtype=dtype, name="cnn")
 
         use_sparse = (self.sparse_cnn if self.sparse_cnn is not None

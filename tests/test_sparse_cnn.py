@@ -1,12 +1,64 @@
 """Sparse CNN tail == dense tail + gather, with shared parameters."""
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pvn3d_tpu.models.pspnet import PSPNetEmbedding
+from pvn3d_tpu.models.pspnet import PSPNetEmbedding, PSPUpsample
 from pvn3d_tpu.models.pvn3d import PVN3D
 
 import __graft_entry__ as graft
+
+
+def test_psp_upsample_fused_matches_dense():
+    """The resize-into-conv fused stage (PSPUpsample.fused) computes the
+    same function as resize2x -> pad -> VALID conv -> BN -> PReLU, in f32
+    (summation-order rounding only) and bf16 (one-ulp-scale rounding)."""
+    rng = np.random.RandomState(3)
+    for (h, w, cin, co) in [(6, 8, 16, 8), (15, 20, 32, 16)]:
+        x32 = jnp.asarray(rng.randn(2, h, w, cin).astype(np.float32))
+        mod = PSPUpsample(features=co, train=False, dtype=jnp.float32)
+        variables = mod.init(jax.random.PRNGKey(0), x32)
+        y0 = mod.apply(variables, x32)
+        y1 = mod.apply(variables, x32, method=PSPUpsample.fused)
+        assert y1.shape == (2, 2 * h, 2 * w, co)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   atol=1e-5)
+        modb = PSPUpsample(features=co, train=False, dtype=jnp.bfloat16)
+        y0b = modb.apply(variables, x32.astype(jnp.bfloat16))
+        y1b = modb.apply(variables, x32.astype(jnp.bfloat16),
+                         method=PSPUpsample.fused)
+        scale = float(jnp.max(jnp.abs(y0b.astype(jnp.float32))))
+        np.testing.assert_allclose(
+            np.asarray(y0b, np.float32), np.asarray(y1b, np.float32),
+            atol=0.05 * max(scale, 1.0))
+
+
+def test_pvn3d_fuse_upsample_matches_standard():
+    """fuse_upsample=True is a pure eval-mode restructure of the dense
+    upsample stages: same params, near-identical outputs."""
+    cfg = graft._tiny_config()
+    cnn_fused = dataclasses.replace(cfg.model.cnn, fuse_upsample=True)
+    mcfg_fused = dataclasses.replace(cfg.model, cnn=cnn_fused)
+    from pvn3d_tpu.data.synthetic import synthetic_batch
+    batch = synthetic_batch(cfg, batch_size=1,
+                            n_points=cfg.model.n_sample_points,
+                            height=64, width=64)
+    base = PVN3D(cfg=cfg.model, train=False)
+    variables = jax.jit(base.init)(
+        jax.random.PRNGKey(0), jnp.asarray(batch["pointcloud"]),
+        jnp.asarray(batch["rgb"]), jnp.asarray(batch["choose"]))
+    fused = PVN3D(cfg=mcfg_fused, train=False)
+    out0 = base.apply(variables, batch["pointcloud"], batch["rgb"],
+                      batch["choose"])
+    out1 = fused.apply(variables, batch["pointcloud"], batch["rgb"],
+                       batch["choose"])
+    for k in ("seg_logits", "kp_offsets", "ctr_offsets"):
+        ref = np.asarray(out0[k])
+        got = np.asarray(out1[k])
+        atol = 0.05 * max(1.0, float(np.max(np.abs(ref))))
+        np.testing.assert_allclose(got, ref, atol=atol)
 
 
 def test_pspnet_sparse_matches_dense_gather():
