@@ -239,6 +239,13 @@ class ModelConfig:
     # measured 80.0 vs 75.9 fps full-pipeline on v5-lite (chip_queue).
     # Train mode always runs dense (batch stats over the full map).
     sparse_cnn_eval: bool = True
+    # Eval-only: evaluate the three heads' first Dense on the split
+    # fusion output — the 1024 global-context rows of each (1792, w)
+    # kernel multiply one per-frame vector instead of N broadcast copies
+    # (57% of the first-layer MACs; models/pvn3d.py::_SplitDense).
+    # Bitwise-equivalent up to summation regrouping; equivalence-tested
+    # incl. bf16 (tests/test_models.py).  Train keeps the literal concat.
+    head_split_global: bool = True
 
 
 # ---------------------------------------------------------------------------

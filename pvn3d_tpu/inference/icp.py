@@ -102,7 +102,8 @@ def icp_refine(mesh_pts: jnp.ndarray, mesh_valid: jnp.ndarray,
     return pose, err, jnp.broadcast_to(n_iter, (b,))
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "chunk"))
+@functools.partial(jax.jit, static_argnames=("bandwidth", "max_iter",
+                                              "chunk"))
 def biggest_cluster_mask(points: jnp.ndarray, valid: jnp.ndarray,
                          bandwidth: float = 0.06, max_iter: int = 300,
                          chunk: int = 8) -> jnp.ndarray:

@@ -27,9 +27,18 @@ from pvn3d_tpu.models.pspnet import PSPNetEmbedding
 
 
 class DenseFusion(nn.Module):
-    """Per-point RGB-D feature fusion (reference: pvn3d.py:157-182)."""
+    """Per-point RGB-D feature fusion (reference: pvn3d.py:157-182).
+
+    ``split_global=True`` returns ``(local, global)`` — the (B, N, 768)
+    per-point half and the (B, 1, 1024) pooled context WITHOUT the
+    broadcast+concat.  The last 1024 rows of every head's first Dense
+    kernel then multiply a per-frame vector instead of N copies of it
+    (see ``PredictionHead``), saving 1024/1792 of the three heads'
+    first-layer MACs and the (B, N, 1792) HBM materialization.
+    """
     train: bool = True
     dtype: jnp.dtype = jnp.float32
+    split_global: bool = False
 
     @nn.compact
     def __call__(self, rgb_emb, cld_emb):
@@ -49,9 +58,35 @@ class DenseFusion(nn.Module):
                                 param_dtype=jnp.float32,
                                 name="conv4")(rgbd))
         global_feat = jnp.mean(rgbd, axis=1, keepdims=True)          # 1024
+        local = jnp.concatenate([feat_1, feat_2], axis=-1)           # 768
+        if self.split_global:
+            return local, global_feat
         global_feat = jnp.broadcast_to(
             global_feat, rgbd.shape[:-1] + (1024,))
-        return jnp.concatenate([feat_1, feat_2, global_feat], axis=-1)  # 1792
+        return jnp.concatenate([local, global_feat], axis=-1)        # 1792
+
+
+class _SplitDense(nn.Module):
+    """``nn.Dense`` twin (identical param tree: ``kernel`` of shape
+    (in_local + in_global, features) + ``bias``) evaluated on a
+    block-structured input: ``local @ K[:d] + (g @ K[d:] + bias)``.
+    ``g`` is per-frame (B, 1, C_g), so its term costs O(B), not O(B*N).
+    Exact in f32 up to summation regrouping (the two partial products
+    are accumulated separately before the add)."""
+    features: int
+    in_total: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, local, g):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_total, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        d = local.shape[-1]
+        local, g, kernel, bias = nn.dtypes.promote_dtype(
+            local, g, kernel, bias, dtype=self.dtype)
+        return local @ kernel[:d] + (g @ kernel[d:] + bias)
 
 
 class PredictionHead(nn.Module):
@@ -67,8 +102,15 @@ class PredictionHead(nn.Module):
     @nn.compact
     def __call__(self, x, bn_momentum=0.1):
         for i, w in enumerate(self.widths):
-            x = nn.Dense(w, dtype=self.dtype, param_dtype=jnp.float32,
-                         name=f"dense{i}")(x)
+            if i == 0 and isinstance(x, tuple):
+                # Split fusion output (see DenseFusion.split_global): the
+                # global rows of dense0's kernel hit a per-frame vector.
+                local, g = x
+                x = _SplitDense(w, local.shape[-1] + g.shape[-1],
+                                dtype=self.dtype, name="dense0")(local, g)
+            else:
+                x = nn.Dense(w, dtype=self.dtype, param_dtype=jnp.float32,
+                             name=f"dense{i}")(x)
             x = BatchNorm(use_running_average=not self.train,
                           dtype=self.dtype, name=f"bn{i}")(x, bn_momentum)
             x = nn.relu(x)
@@ -133,7 +175,11 @@ class PVN3D(nn.Module):
                                dtype=dtype, name="pointnet2")(
                                    pointcloud, bn_momentum)
 
+        # Eval-only matmul restructure (train keeps the literal concat so
+        # grads/batch stats match the contract bit-for-bit).
+        split = (not self.train) and cfg.head_split_global
         fused = DenseFusion(train=self.train, dtype=dtype,
+                            split_global=split,
                             name="fusion")(rgb_emb, cld_emb)
 
         seg = PredictionHead(cfg.seg_head, cfg.n_classes, train=self.train,

@@ -407,3 +407,55 @@ class TestFPPrecomputeFirst:
         np.testing.assert_allclose(self._run(True, dtype=jnp.bfloat16),
                                    self._run(False, dtype=jnp.bfloat16),
                                    atol=6e-3)
+
+
+class TestHeadSplitGlobal:
+    """Eval-only split of the heads' first Dense over the fusion concat
+    (models/pvn3d.py::_SplitDense): the 1024 global-context kernel rows
+    multiply one per-frame vector instead of N broadcast copies."""
+
+    def _run(self, flag, dtype="float32", train=False):
+        import dataclasses
+        from pvn3d_tpu.models import PVN3D
+        cfg = dataclasses.replace(small_config(), head_split_global=flag,
+                                  compute_dtype=dtype)
+        model = PVN3D(cfg=cfg, train=train, sparse_cnn=False)
+        b, n = 2, cfg.n_sample_points
+        pcld = jax.random.normal(jax.random.PRNGKey(0), (b, n, 9)) * 0.3
+        rgb = jax.random.normal(jax.random.PRNGKey(1), (b, 64, 64, 3))
+        choose = jax.random.randint(jax.random.PRNGKey(2), (b, n),
+                                    0, 64 * 64)
+        vars_ = model.init(jax.random.PRNGKey(3), pcld, rgb, choose)
+        if train:
+            out, _ = model.apply(vars_, pcld, rgb, choose,
+                                 mutable=["batch_stats"],
+                                 rngs={"dropout": jax.random.PRNGKey(9)})
+        else:
+            out = model.apply(vars_, pcld, rgb, choose)
+        return {k: np.asarray(v, np.float32) for k, v in out.items()
+                if v is not None}, vars_
+
+    def test_param_tree_identical(self):
+        a, va = self._run(False)
+        b, vb = self._run(True)
+        ta = jax.tree_util.tree_structure(va)
+        tb = jax.tree_util.tree_structure(vb)
+        assert ta == tb
+
+    def test_eval_forward_matches_standard_path(self):
+        off, _ = self._run(False)
+        on, _ = self._run(True)
+        for k in off:
+            np.testing.assert_allclose(on[k], off[k], rtol=2e-5, atol=2e-5)
+
+    def test_bf16_within_rounding(self):
+        off, _ = self._run(False, dtype="bfloat16")
+        on, _ = self._run(True, dtype="bfloat16")
+        for k in off:
+            np.testing.assert_allclose(on[k], off[k], atol=8e-2, rtol=2e-2)
+
+    def test_train_mode_ignores_flag(self):
+        off, _ = self._run(False, train=True)
+        on, _ = self._run(True, train=True)
+        for k in off:
+            np.testing.assert_array_equal(on[k], off[k])
