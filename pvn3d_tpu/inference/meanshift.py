@@ -53,9 +53,21 @@ def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
                        0.0)
 
 
-def _winner_stats(points, mask, bandwidth, chunk):
+def _winner_stats(points, mask, bandwidth, chunk, impl="auto"):
     """One chunked (K, K) pass over ORIGINAL positions: winning seed index,
-    cluster labels and counts (meanshift_pytorch.py:45-51 semantics)."""
+    cluster labels and counts (meanshift_pytorch.py:45-51 semantics).
+
+    impl: "auto" (fused pallas kernel on TPU — each hypothesis's (K, K)
+    distance/membership tile stays in VMEM instead of ~16 MB/chunk HBM
+    round-trips), "pallas", or "xla" (the chunked lax.map form below,
+    also the oracle for the kernel's test).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from pvn3d_tpu.ops.pallas.winner import winner_stats_fused
+        return winner_stats_fused(points, mask, float(bandwidth),
+                                  interpret=jax.default_backend() != "tpu")
     h, k, _ = points.shape
     bw2 = jnp.float32(bandwidth * bandwidth)
     n_chunks = -(-h // chunk)
@@ -81,8 +93,8 @@ def _winner_stats(points, mask, bandwidth, chunk):
             counts.reshape(-1)[:h])
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "chunk", "mode",
-                                              "unroll"))
+@functools.partial(jax.jit, static_argnames=("bandwidth", "max_iter",
+                                              "chunk", "mode", "unroll"))
 def mean_shift_fit(points: jnp.ndarray, mask: jnp.ndarray,
                    bandwidth: float, max_iter: int = 300,
                    chunk: int = 16, mode: str = "winner",

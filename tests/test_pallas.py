@@ -192,3 +192,36 @@ class TestThreeInterpolateFused:
         g = jax.grad(lambda uu: jnp.sum(
             three_interpolate_fused(uu, k, f, 1e-8, True)[0]))(u)
         assert (np.asarray(g) == 0).all()
+
+
+class TestWinnerStatsFused:
+    """Fused MeanShift winner pass (ops/pallas/winner.py) vs the chunked
+    XLA `_winner_stats` oracle.  The d^2 expression uses the same
+    association order and HIGHEST precision, so win/labels/counts must be
+    bit-identical, including bandwidth-boundary membership."""
+
+    @pytest.mark.parametrize("h,k", [(8, 512), (21, 512), (5, 200)])
+    def test_matches_xla(self, h, k):
+        from pvn3d_tpu.inference.meanshift import _winner_stats
+        from pvn3d_tpu.ops.pallas.winner import winner_stats_fused
+        rng = np.random.RandomState(h * 100 + k)
+        pts = jnp.asarray(0.05 * rng.randn(h, k, 3).astype(np.float32))
+        msk = jnp.asarray(rng.rand(h, k) < 0.8)
+        ow, ol, oc = _winner_stats(pts, msk, 0.08, 4, impl="xla")
+        fw, fl, fc = winner_stats_fused(pts, msk, 0.08, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ow), np.asarray(fw))
+        np.testing.assert_array_equal(np.asarray(ol), np.asarray(fl))
+        np.testing.assert_array_equal(np.asarray(oc), np.asarray(fc))
+
+    def test_all_invalid_hypothesis(self):
+        from pvn3d_tpu.inference.meanshift import _winner_stats
+        from pvn3d_tpu.ops.pallas.winner import winner_stats_fused
+        rng = np.random.RandomState(0)
+        pts = jnp.asarray(rng.randn(3, 130, 3).astype(np.float32))
+        msk = jnp.zeros((3, 130), bool).at[1].set(
+            jnp.asarray(rng.rand(130) < 0.5))
+        ow, ol, oc = _winner_stats(pts, msk, 0.08, 2, impl="xla")
+        fw, fl, fc = winner_stats_fused(pts, msk, 0.08, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ow), np.asarray(fw))
+        np.testing.assert_array_equal(np.asarray(ol), np.asarray(fl))
+        np.testing.assert_array_equal(np.asarray(oc), np.asarray(fc))
