@@ -157,8 +157,14 @@ class PVN3D(nn.Module):
             fuse_up=cfg.cnn.fuse_upsample,
             train=self.train, dtype=dtype, name="cnn")
 
+        # Auto mode picks sparse only at batch 1: the sparse tail's
+        # per-point bilinear patch gathers scale worse than the dense
+        # conv+gather with batch (measured v5-lite full forward, ms:
+        # B=1 7.59 sparse vs 8.32 dense; B=2 21.9 vs 19.2; B=4 41.3 vs
+        # 37.2 — benchmarks/stage_breakdown.py --batch).
         use_sparse = (self.sparse_cnn if self.sparse_cnn is not None
-                      else (not self.train and cfg.sparse_cnn_eval))
+                      else (not self.train and cfg.sparse_cnn_eval
+                            and b == 1))
         if use_sparse:
             rgb_emb, rgb_seg = cnn(rgb.astype(dtype), bn_momentum,
                                    choose=choose.astype(jnp.int32))

@@ -40,52 +40,73 @@ _MAX_ROWS_PER_PROGRAM = 16     # VMEM cap incl. double-buffered blocks + tempora
 
 
 def _fps_kernel_wide(n_valid: int, npoint: int, x_ref, out_ref, mind_ref):
-    """Single-row variant with the N axis folded onto sublanes AND lanes.
+    """Small-batch variant with each row's N axis folded onto sublanes AND
+    lanes.
 
-    The row-major kernel below runs every per-step op on (1, N) vectors
-    at B=1 — one of eight sublanes, 12.5% VPU width.  Here the host
-    reshapes the row to (8, N/8) (row-major: flat index j = s*(N/8)+l),
-    so each of the m serial steps runs full-width; reductions keep both
-    axes.  Measured 2.6x on-chip at N=12288, m=2048 (1.55 -> 0.59 ms
-    floor-corrected).  Semantics identical to the row kernel (same flat
-    index order, same tie rule, same skip quirks) — property-tested
+    The row-major kernel below runs every per-step op on (B, N) vectors —
+    at B < 8 that underfills the sublane axis (12.5% VPU width at B=1).
+    Here the host reshapes every row to (8, N/8) (row-major: flat index
+    j = s*(N/8)+l) and stacks rows on a leading dim, so each of the m
+    serial steps runs full-width per row; reductions keep the trailing
+    two axes and stay per-row.  Measured 2.6x on-chip at B=1, N=12288,
+    m=2048 (1.55 -> 0.59 ms floor-corrected); at B=2 the batched fold
+    keeps the same full-width per-row steps where the row-major kernel
+    would idle 75% of the sublanes (round-4 fix for part of the B>1
+    throughput regression; B>=3 stays row-major — see the crossover
+    note in ``fps_pallas``).  Semantics identical to the row kernel (same
+    flat index order, same tie rule, same skip quirks) — property-tested
     against the numpy oracle and the XLA path.
 
-    x_ref: (3, 8, Nw) f32; out_ref: (1, npoint) i32; mind_ref: (8, Nw).
+    x_ref: (3, B, 8, Nw) f32; out_ref: (B, npoint) i32;
+    mind_ref: (B, 8, Nw).
     """
+    b = x_ref.shape[1]
     nw = x_ref.shape[-1]
-    x = x_ref[0]
-    y = x_ref[1]
-    z = x_ref[2]
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, nw), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, nw), 1)
     jcol = sub * nw + lane                         # flat point index
-    mag = x * x + y * y + z * z
-    skip = (mag <= 1e-3) | (jcol >= n_valid)
     neg_inf = jnp.float32(-jnp.inf)
     big_i = jnp.int32(8 * nw)
-    mind_ref[:, :] = jnp.full((8, nw), 1e10, jnp.float32)
     ocol = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
-    out_ref[:, :] = jnp.zeros((1, npoint), jnp.int32)
+    out_ref[...] = jnp.zeros((b, npoint), jnp.int32)
+
+    # Rows are unrolled in-kernel (b is small, < 8): every per-row op is a
+    # full-width 2-D (8, Nw) vector op — Mosaic's well-supported layout —
+    # while the m-step serial chain is shared by the whole batch.
+    rows = []
+    for bi in range(b):
+        x = x_ref[0, bi]
+        y = x_ref[1, bi]
+        z = x_ref[2, bi]
+        mag = x * x + y * y + z * z
+        skip = (mag <= 1e-3) | (jcol >= n_valid)
+        rows.append((x, y, z, skip))
+        mind_ref[bi] = jnp.full((8, nw), 1e10, jnp.float32)
 
     def body(i, last):
-        onehot = (jcol == last).astype(jnp.float32)
-        lx = jnp.sum(x * onehot, axis=(0, 1), keepdims=True)
-        ly = jnp.sum(y * onehot, axis=(0, 1), keepdims=True)
-        lz = jnp.sum(z * onehot, axis=(0, 1), keepdims=True)
-        d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
-        mind = jnp.where(skip, mind_ref[:, :],
-                         jnp.minimum(mind_ref[:, :], d))
-        mind_ref[:, :] = mind
-        cand = jnp.where(skip, neg_inf, mind)
-        best = jnp.max(cand, axis=(0, 1), keepdims=True)
-        nxt = jnp.min(jnp.where(cand == best, jcol, big_i),
-                      axis=(0, 1), keepdims=True).astype(jnp.int32)
-        nxt = jnp.where(nxt >= big_i, 0, nxt)
-        out_ref[:, :] = jnp.where(ocol == i, nxt, out_ref[:, :])
-        return nxt
+        nxts = []
+        for bi in range(b):
+            x, y, z, skip = rows[bi]
+            onehot = (jcol == last[bi]).astype(jnp.float32)
+            lx = jnp.sum(x * onehot, axis=(0, 1), keepdims=True)
+            ly = jnp.sum(y * onehot, axis=(0, 1), keepdims=True)
+            lz = jnp.sum(z * onehot, axis=(0, 1), keepdims=True)
+            d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
+            mind = jnp.where(skip, mind_ref[bi],
+                             jnp.minimum(mind_ref[bi], d))
+            mind_ref[bi] = mind
+            cand = jnp.where(skip, neg_inf, mind)
+            best = jnp.max(cand, axis=(0, 1), keepdims=True)
+            nxt = jnp.min(jnp.where(cand == best, jcol, big_i),
+                          axis=(0, 1), keepdims=True).astype(jnp.int32)
+            nxt = jnp.where(nxt >= big_i, 0, nxt)
+            out_ref[bi:bi + 1, :] = jnp.where(
+                ocol == i, nxt, out_ref[bi:bi + 1, :])
+            nxts.append(nxt)
+        return tuple(nxts)
 
-    jax.lax.fori_loop(1, npoint, body, jnp.zeros((1, 1), jnp.int32))
+    jax.lax.fori_loop(1, npoint, body,
+                      tuple(jnp.zeros((1, 1), jnp.int32) for _ in range(b)))
 
 
 def _fps_kernel(n_valid: int, npoint: int, x_ref, out_ref, mind_ref):
@@ -133,21 +154,25 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int,
     if npoint == 1:
         return jnp.zeros((b, 1), jnp.int32)
 
-    if b == 1:
-        # Wide single-row layout: fold N onto sublanes x lanes (see
+    if b <= 2:
+        # Wide layout: fold each row's N onto sublanes x lanes (see
         # _fps_kernel_wide).  Row-major (N,) -> (8, N/8) keeps the flat
-        # index order, so semantics are unchanged.
+        # index order, so semantics are unchanged.  Measured crossover
+        # (v5-lite, N=12288, m=2048): wide wins at B=1 (1.51 vs 2.04 ms)
+        # and B=2 (2.28 vs 2.57) but loses at B=4 (3.79 vs 2.75) — the
+        # per-row unrolled reductions overtake the row-major kernel's
+        # shared-instruction reductions once enough sublanes are filled.
         n_pad = -(-n // (8 * _LANES)) * (8 * _LANES)
-        xt = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))  # (3,1,N)
+        xt = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))  # (3,B,N)
         if n_pad != n:
             xt = jnp.pad(xt, ((0, 0), (0, 0), (0, n_pad - n)))
-        xt = xt.reshape(3, 8, n_pad // 8)
+        xt = xt.reshape(3, b, 8, n_pad // 8)
         out = pl.pallas_call(
             functools.partial(_fps_kernel_wide, n, npoint),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((1, npoint), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((8, n_pad // 8), jnp.float32)],
+            out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((b, 8, n_pad // 8), jnp.float32)],
             interpret=interpret,
         )(xt)
         return out

@@ -225,3 +225,13 @@ class TestWinnerStatsFused:
         np.testing.assert_array_equal(np.asarray(ow), np.asarray(fw))
         np.testing.assert_array_equal(np.asarray(ol), np.asarray(fl))
         np.testing.assert_array_equal(np.asarray(oc), np.asarray(fc))
+
+
+@pytest.mark.parametrize("b", [1, 7, 8, 17])
+def test_fps_pallas_batch_layouts(b):
+    """The b < 8 wide (sublane-folded) layout, the row-major kernel at
+    b >= 8, and the grid path at b > 16 all match the XLA reference."""
+    xyz = jax.random.normal(jax.random.PRNGKey(3), (b, 640, 3))
+    a = np.asarray(_fps_xla(xyz, 96))
+    got = np.asarray(fps_pallas(xyz, 96, interpret=True))
+    np.testing.assert_array_equal(a, got)
