@@ -68,13 +68,65 @@ def frame_seconds(forward_flops: float, n_classes: float, k_points: float,
     return t_fwd + t_cluster + t_rest
 
 
-# Our full YCB forward, measured once on-chip via
-# jax.jit(forward).lower(...).compile().cost_analysis()["flops"]
-# (same macro-architecture as the reference's network).
-MEASURED_FORWARD_FLOPS = 125e9
+# Fallback for measured_forward_flops() when live XLA cost analysis is
+# unavailable (last live value, full YCB dense forward, 2026-08).
+# History: rounds 1-3 hardcoded 125e9 here — ~5x LOW (it predated the
+# full-size image path).  Hand-check of the live 623e9: the stride-8
+# ResNet34 tail at 480x640 alone is ~320 GFLOP (layer4 runs 16x the
+# spatial positions of the standard stride-32 net) and the three
+# 1792-wide heads ~176 GFLOP.  The error was conservative (it UNDERstated
+# the reference's forward cost, overstating its fps).
+FALLBACK_FORWARD_FLOPS = 6.23e11
+_FLOPS_CACHE: list = []
 
 
-def estimate(forward_flops: float = MEASURED_FORWARD_FLOPS) -> dict:
+def measured_forward_flops() -> float:
+    """Forward FLOPs of the reference-graph network, measured live.
+
+    Builds the full YCB-config model with every FLOP-changing eval
+    restructure disabled (dense CNN tail, literal fusion concat, no
+    SA/FP precompute splits, no fused upsample) so the count tracks the
+    REFERENCE architecture's arithmetic as the repo evolves, and reads
+    XLA's HLO cost analysis off the lowered module — no hardcoded
+    constant to rot.  Host-side only (no device compile/execute)."""
+    if _FLOPS_CACHE:
+        return _FLOPS_CACHE[0]
+    try:
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from pvn3d_tpu.config import Config
+        from pvn3d_tpu.models.pvn3d import PVN3D
+
+        cfg = Config.ycb()
+        mc = dataclasses.replace(
+            cfg.model,
+            sparse_cnn_eval=False, head_split_global=False,
+            cnn=dataclasses.replace(cfg.model.cnn, fuse_upsample=False),
+            pointnet2=dataclasses.replace(
+                cfg.model.pointnet2, sa_precompute_first=False,
+                fp_precompute_first=False, query_mode="exact",
+                interp_mode="exact"))
+        model = PVN3D(cfg=mc, train=False, sparse_cnn=False)
+        pc = jax.ShapeDtypeStruct((1, mc.n_sample_points, 9), jnp.float32)
+        rgb = jax.ShapeDtypeStruct(
+            (1, mc.image_height, mc.image_width, 3), jnp.float32)
+        ch = jax.ShapeDtypeStruct((1, mc.n_sample_points), jnp.int32)
+        variables = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                                   pc, rgb, ch)
+        params = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), variables)
+        flops = float(jax.jit(model.apply).lower(
+            params, pc, rgb, ch).cost_analysis()["flops"])
+    except Exception:
+        flops = FALLBACK_FORWARD_FLOPS
+    _FLOPS_CACHE.append(flops)
+    return flops
+
+
+def estimate(forward_flops: float | None = None) -> dict:
     """Optimistic / central / conservative A100 fps for the reference.
 
     The scenario axes are the per-frame clustering size: number of
@@ -82,8 +134,15 @@ def estimate(forward_flops: float = MEASURED_FORWARD_FLOPS) -> dict:
     class point count K out of the 12288 samples, and iterations to the
     bw*1e-3 convergence threshold.
     """
+    if forward_flops is None:
+        forward_flops = measured_forward_flops()
     scenarios = {
-        # name: (n_classes, K, iters, mfu)
+        # name: (n_classes, K, iters, mfu).  The (K, iters) axes are
+        # validated against measured distributions of the literal
+        # reference MeanShift on synthetic-world vote clouds
+        # (benchmarks/meanshift_empirics.py; results committed in
+        # benchmarks/meanshift_empirics.json): the optimistic arm sits
+        # below the measured medians, conservative above the p90s.
         "optimistic": (4.0, 400.0, 10.0, 0.40),
         "central": (5.0, 1200.0, 20.0, 0.20),
         "conservative": (6.0, 2500.0, 40.0, 0.10),
@@ -100,7 +159,7 @@ def main():
     print(json.dumps({
         "metric": "a100_reference_fps_estimate",
         "fps": est,
-        "forward_flops": MEASURED_FORWARD_FLOPS,
+        "forward_flops": measured_forward_flops(),
         "model": "bandwidth/launch-bound MeanShift stage "
                  "(10 fits/class, 9K^2 floats/iter, cited in module "
                  "docstring) + TF32 forward + 1 ms fit/metrics",
