@@ -142,16 +142,15 @@ def main(argv=None):
     else:
         step = make_inference_step(cfg, eval_model, variables, kps, radii,
                                    mesh_pts, mesh_valid)
-    icp_step = None
+    refine_fn = None
     if args.icp:
-        from pvn3d_tpu.inference.evaluator import eval_frame_metrics
-        from pvn3d_tpu.inference.pipeline import make_icp_step
-        icp_step = make_icp_step(cfg, mesh_pts, mesh_valid)
-        mesh_pts_j, mesh_valid_j = jnp.asarray(mesh_pts), jnp.asarray(
-            mesh_valid)
-        icp_metrics = jax.jit(jax.vmap(
-            lambda p, c, r: eval_frame_metrics(p, c, r, mesh_pts_j,
-                                               mesh_valid_j)))
+        from pvn3d_tpu.inference.pipeline import make_icp_refine_fn
+        refine_fn = make_icp_refine_fn(cfg, mesh_pts, mesh_valid)
+        if args.packed_dir:
+            print("WARNING: --icp with --packed_dir: packed shards carry "
+                  "no full-res depth; the ICP scene will be the sampled "
+                  "cloud, not the eval_icp.py full-resolution scene",
+                  flush=True)
     if args.packed_dir:
         from pvn3d_tpu.tools.preprocess_testset import iter_packed_batches
         loader = iter_packed_batches(args.packed_dir, args.batch_size)
@@ -161,21 +160,6 @@ def main(argv=None):
 
     ev = PoseEvaluator(n_cls=max(n_cls, obj_id + 1),
                        ds_type=args.dataset)
-
-    refine_fn = None
-    if icp_step is not None:
-        def refine_fn(batch, out):
-            icp_args = ()
-            if "depth_m" in out:   # device-preprocess path: filled on chip
-                icp_args = (out["depth_m"], jnp.asarray(batch["cam_k"]))
-            elif "depth" in batch:  # full-res reference-parity scene path
-                icp_args = (jnp.asarray(batch["depth"]),
-                            jnp.asarray(batch["cam_k"]))
-            pcld = (out["pointcloud"] if "pointcloud" in out
-                    else jnp.asarray(batch["pointcloud"]))[..., :3]
-            refined = icp_step(pcld, out["seg"], out["poses"], *icp_args)
-            return icp_metrics(refined, jnp.asarray(batch["cls_ids"]),
-                               jnp.asarray(batch["rts"]))
 
     from pvn3d_tpu.inference.pipeline import accumulate_batches
     n_frames = accumulate_batches(

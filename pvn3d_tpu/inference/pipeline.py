@@ -189,6 +189,51 @@ def make_icp_step(cfg: Config, mesh_pts: np.ndarray, mesh_valid: np.ndarray):
     return step
 
 
+def make_icp_refine_fn(cfg: Config, mesh_pts: np.ndarray,
+                       mesh_valid: np.ndarray, warn=None):
+    """ICP post-refinement closure for ``accumulate_batches``:
+    ``refine_fn(batch, out) -> (add, adds)`` recomputed from the refined
+    poses.
+
+    Scene selection per reference priority (eval_icp.py:224-291): the
+    on-chip filled depth when the device-preprocess step produced one,
+    else the batch's raw full-res depth (``--icp`` sets
+    ``FrameSpec.keep_depth``), else — LOUDLY — the sampled 12288-pt
+    cloud, which is NOT reference parity (packed shards carry no depth
+    map).  ``warn`` is called once with the fallback message.  The
+    closure exposes ``refine_fn.mode`` ("fullres"/"sampled") for
+    observability/tests."""
+    icp_step = make_icp_step(cfg, mesh_pts, mesh_valid)
+    mesh_pts_j = jnp.asarray(mesh_pts)
+    mesh_valid_j = jnp.asarray(mesh_valid)
+    icp_metrics = jax.jit(jax.vmap(
+        lambda p, c, r: eval_frame_metrics(p, c, r, mesh_pts_j,
+                                           mesh_valid_j)))
+    warn = warn or (lambda msg: print(msg, flush=True))
+
+    def refine_fn(batch, out):
+        icp_args = ()
+        if "depth_m" in out:    # device-preprocess path: filled on chip
+            icp_args = (out["depth_m"], jnp.asarray(batch["cam_k"]))
+        elif "depth" in batch:  # full-res reference-parity scene path
+            icp_args = (jnp.asarray(batch["depth"]),
+                        jnp.asarray(batch["cam_k"]))
+        elif refine_fn.mode != "sampled":
+            warn("WARNING: batch has no full-res depth map — ICP scene "
+                 "falls back to the sampled point cloud (NOT eval_icp.py "
+                 "parity; packed shards don't carry depth — evaluate from "
+                 "raw frames for the reference-parity scene)")
+        refine_fn.mode = "fullres" if icp_args else "sampled"
+        pcld = (out["pointcloud"] if "pointcloud" in out
+                else jnp.asarray(batch["pointcloud"]))[..., :3]
+        refined = icp_step(pcld, out["seg"], out["poses"], *icp_args)
+        return icp_metrics(refined, jnp.asarray(batch["cls_ids"]),
+                           jnp.asarray(batch["rts"]))
+
+    refine_fn.mode = None
+    return refine_fn
+
+
 def accumulate_batches(step, batches, ev: PoseEvaluator,
                        ds_type: str = "ycb", obj_id: int = 0,
                        refine_fn=None, max_frames: int = 0) -> int:

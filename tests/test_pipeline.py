@@ -88,3 +88,57 @@ def test_raw_inference_step_sensor_to_pose():
     # the filled depth must have no holes left in the top-masked region
     dm = np.asarray(out["depth_m"])
     assert (dm[:, 5:9, 5:9] > 0.5).all()
+
+
+def test_icp_refine_fn_fullres_and_fallback():
+    """The app-level ICP closure (apps/evaluate --icp): a batch WITH the
+    full-res depth map drives the reference-parity full-res scene path;
+    a batch WITHOUT falls back to the sampled cloud and warns LOUDLY
+    (eval_icp.py:224-291 priority)."""
+    from pvn3d_tpu.inference.pipeline import make_icp_refine_fn
+    (cfg, batch, model, variables, mesh_kps, radii, mesh_pts,
+     mesh_valid) = _setup()
+    step = make_inference_step(cfg, model, variables, mesh_kps, radii,
+                               mesh_pts, mesh_valid)
+    out = step(batch)
+    warnings = []
+    refine = make_icp_refine_fn(cfg, mesh_pts, mesh_valid,
+                                warn=warnings.append)
+
+    # Full-res: depth + intrinsics present (FrameSpec.keep_depth layout).
+    rng = np.random.RandomState(1)
+    depth = rng.uniform(0.5, 1.5, (2, 64, 64)).astype(np.float32)
+    cam_k = np.tile(np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]],
+                             np.float32), (2, 1, 1))
+    full = dict(batch, depth=depth, cam_k=cam_k)
+    add, adds = refine(full, out)
+    assert refine.mode == "fullres"
+    assert not warnings
+    assert add.shape == batch["cls_ids"].shape
+    assert np.isfinite(np.asarray(add)).all()
+
+    # Sampled fallback: no depth in the batch -> one loud warning.
+    add2, adds2 = refine(batch, out)
+    assert refine.mode == "sampled"
+    assert len(warnings) == 1 and "NOT eval_icp.py parity" in warnings[0]
+    refine(batch, out)
+    assert len(warnings) == 1          # warned once, not per batch
+    assert np.isfinite(np.asarray(add2)).all()
+
+
+def test_evaluate_icp_flag_keeps_depth_in_batches():
+    """--icp sets FrameSpec.keep_depth so raw-frame loader batches carry
+    the full-res depth + intrinsics the refine closure needs."""
+    import argparse
+
+    from pvn3d_tpu.apps.train import make_dataset_factory
+
+    args = argparse.Namespace(dataset="linemod", cls="ape",
+                              data_root="/nonexistent", seed=0,
+                              no_fill_depth=False, icp=True)
+    ds_factory = make_dataset_factory(args, "test")
+    spec = ds_factory.keywords["spec"]
+    assert spec.keep_depth
+    args.icp = False
+    spec = make_dataset_factory(args, "test").keywords["spec"]
+    assert not spec.keep_depth
