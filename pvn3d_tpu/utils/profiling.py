@@ -89,6 +89,19 @@ def device_loop_time(fn: Callable[[jnp.ndarray], jnp.ndarray],
     import random
     s0 = random.random()
     run(jnp.float32(s0)).block_until_ready()
-    t0 = time.perf_counter()
-    run(jnp.float32(s0 + 1.0 + random.random())).block_until_ready()
-    return (time.perf_counter() - t0) / iters
+
+    def timed():
+        t0 = time.perf_counter()
+        run(jnp.float32(s0 + 1.0 + random.random())).block_until_ready()
+        return time.perf_counter() - t0
+
+    t1 = timed()
+    # Replay guard: a random salt defeats the tunnel's same-input
+    # memoization in principle, but a one-off replay artifact was still
+    # observed (bench.py --batch 4 read 257,000 fps once, round 4).  A
+    # second independently-salted dispatch cannot replay the first; if
+    # the two disagree by >5x, trust the slower one.
+    t2 = timed()
+    if max(t1, t2) > 5.0 * min(t1, t2):
+        return max(t1, t2) / iters
+    return 0.5 * (t1 + t2) / iters
