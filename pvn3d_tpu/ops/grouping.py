@@ -15,7 +15,8 @@ masked indices* — a selection problem, not a scatter problem.  Scores are
     by every scale, residue-class candidate extraction, no (m, N) HBM
     round-trips.  The TPU default (``auto``): measured on-chip it is
     5.7x approx at L0 (0.78 vs 4.43 ms), ~even at the small levels,
-    +45% full-pipeline fps (80 -> 116, bench.py), with 100% in-radius
+    ~3.9 ms off the honest full pipeline (chip_report_r3.json bench A/B,
+    post-input-salting methodology), with 100% in-radius
     validity and 100% first-ns recall on realistic scanline clouds
     (benchmarks/query_validate.py) and the best end-to-end accuracy of
     the three modes on the synthetic e2e world (ADD-AUC 33.8 vs 33.0
