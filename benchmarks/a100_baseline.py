@@ -138,11 +138,17 @@ def estimate(forward_flops: float | None = None) -> dict:
         forward_flops = measured_forward_flops()
     scenarios = {
         # name: (n_classes, K, iters, mfu).  The (K, iters) axes are
-        # validated against measured distributions of the literal
-        # reference MeanShift on synthetic-world vote clouds
-        # (benchmarks/meanshift_empirics.py; results committed in
-        # benchmarks/meanshift_empirics.json): the optimistic arm sits
-        # below the measured medians, conservative above the p90s.
+        # grounded by measured distributions of the LITERAL reference
+        # MeanShift on trained-model vote clouds
+        # (benchmarks/meanshift_empirics.py -> meanshift_empirics.json,
+        # synthetic world, 8 frames / 24 center fits / 192 kp fits):
+        # center fits K median 2018 / p90 3341, iters median 8.5 /
+        # p90 22 / max 54; keypoint fits K median 1712, iters median 5.
+        # The optimistic arm understates measured K ~4-5x (favorable to
+        # the reference — smaller K = cheaper fit); central sits between
+        # the kp medians and the ctr p90; conservative tracks the ctr
+        # p90s.  Synthetic objects are large — real YCB class masks are
+        # typically smaller, so the K range brackets both regimes.
         "optimistic": (4.0, 400.0, 10.0, 0.40),
         "central": (5.0, 1200.0, 20.0, 0.20),
         "conservative": (6.0, 2500.0, 40.0, 0.10),

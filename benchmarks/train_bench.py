@@ -68,6 +68,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat_policy", default="", choices=("", "full", "dots"))
+    ap.add_argument("--grad_accum", type=int, default=0,
+                    help="micro-batches per step (TrainConfig.grad_accum)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config (CPU smoke of the harness itself)")
     from pvn3d_tpu.utils.platform import (add_platform_args,
@@ -83,6 +86,12 @@ def main():
         cfg = Config.ycb()
     if args.remat:
         cfg = replace(cfg, train=replace(cfg.train, remat=True))
+    if args.remat_policy:
+        cfg = replace(cfg, train=replace(cfg.train,
+                                         remat_policy=args.remat_policy))
+    if args.grad_accum > 1:
+        cfg = replace(cfg, train=replace(cfg.train,
+                                         grad_accum=args.grad_accum))
     mc = cfg.model
     built = synthetic_batch(cfg, batch_size=args.batch)
     state, model, tx = create_train_state(cfg, jax.random.PRNGKey(0), built)
@@ -112,6 +121,8 @@ def main():
         "raw_ms_per_step": round(dt_raw * 1e3, 1),
         "raw_frames_per_s": round(args.batch / dt_raw, 2),
         "batch": args.batch, "remat": args.remat,
+        "remat_policy": args.remat_policy or "full",
+        "grad_accum": max(args.grad_accum, 1),
         "note": "raw = device-side augment+fill+normals+sampling+targets "
                 "fused into the step (host decodes PNGs only)",
     }))

@@ -41,6 +41,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--remat_policy", default="", choices=("", "full", "dots"),
                    help="with --remat: 'full' saves nothing, 'dots' keeps "
                         "MXU outputs and recomputes only elementwise glue")
+    p.add_argument("--grad_accum", type=int, default=0,
+                   help="micro-batches per optimizer step (reference bs-24 "
+                        "budget on one chip without remat's recompute tax; "
+                        "TrainConfig.grad_accum)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
     p.add_argument("--log_every", type=int, default=50)
@@ -128,6 +132,8 @@ def main(argv=None):
         overrides["remat"] = True
     if args.remat_policy:
         overrides["remat_policy"] = args.remat_policy
+    if args.grad_accum > 1:
+        overrides["grad_accum"] = args.grad_accum
     if args.base_lr > 0:
         overrides["base_lr"] = args.base_lr
     if args.max_lr > 0:

@@ -288,6 +288,20 @@ class TrainConfig:
     # most of the recompute tax.  Values never change — remat is purely a
     # memory/compute schedule — so the choice is measured, not tested.
     remat_policy: str = "full"
+    # Gradient accumulation: split the batch into this many equal
+    # micro-batches inside ONE jitted step — micro grads are summed (each
+    # micro loss scales its focal-seg term by 1/grad_accum; the reference
+    # loss is inhomogeneous in batch size — seg is a point mean while the
+    # offset terms sum over frames, train_ycb_pvn3d.py:176-181) and the
+    # optimizer applies once, so the reference's bs-24 budget runs on
+    # a single chip without remat's recompute tax or HBM spill.  BN
+    # semantics match torch-style accumulation: each micro-batch
+    # normalizes by its OWN statistics and the running stats update
+    # sequentially (the reference's bs-24 BN sees the full batch — a
+    # documented deviation of every accumulation scheme).  With identical
+    # micro-batches the resulting params/opt_state are exactly the
+    # full-batch step's (tests/test_train.py).
+    grad_accum: int = 1
 
 
 # ---------------------------------------------------------------------------

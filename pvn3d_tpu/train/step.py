@@ -58,6 +58,8 @@ def _remat_policy(name: str):
 def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
                     ) -> Callable[[TrainState, Dict[str, Any], jax.Array],
                                   tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    accum = max(int(cfg.train.grad_accum), 1)
+
     def train_step(state: TrainState, batch, rng):
         bn_m = bn_momentum_at(state.step, cfg.train)
         drop_rng = jax.random.fold_in(rng, state.step)
@@ -72,15 +74,69 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
             forward = jax.checkpoint(
                 forward, policy=_remat_policy(cfg.train.remat_policy))
 
-        def loss_fn(params):
-            outputs, mutated = forward(
-                params, state.batch_stats, batch["pointcloud"],
-                batch["rgb"], batch["choose"], bn_m, drop_rng)
-            metrics = compute_losses(cfg, outputs, batch)
-            return metrics["loss"], (mutated["batch_stats"], metrics)
+        def grads_of(params, stats, mb, dr, seg_scale=1.0):
+            # seg_scale: the reference loss is INHOMOGENEOUS in batch size
+            # — focal seg is a mean over points while the kp/ctr offset
+            # terms are summed over frames (the trainer .sum()s the
+            # (bs, n_kpts) matrix, train_ycb_pvn3d.py:176-181).  Summing
+            # micro grads therefore reproduces the full-batch gradient
+            # exactly iff each micro loss scales only its seg term by
+            # 1/n_micro.
+            def loss_fn(p):
+                outputs, mutated = forward(
+                    p, stats, mb["pointcloud"], mb["rgb"], mb["choose"],
+                    bn_m, dr)
+                metrics = compute_losses(cfg, outputs, mb)
+                w = cfg.train.loss_weights
+                loss = (seg_scale * w[0] * metrics["loss_seg"]
+                        + w[1] * metrics["loss_kp"]
+                        + w[2] * metrics["loss_ctr"])
+                return loss, (mutated["batch_stats"], metrics)
+            (_, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            return grads, aux
 
-        (_, (new_stats, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if accum == 1:
+            grads, (new_stats, metrics) = grads_of(
+                state.params, state.batch_stats, batch, drop_rng)
+        else:
+            # Micro-batch accumulation inside the step (config docstring:
+            # TrainConfig.grad_accum).  lax.scan keeps ONE micro graph —
+            # activation memory is a single micro-batch's.
+            b = batch["pointcloud"].shape[0]
+            if b % accum:
+                raise ValueError(f"batch {b} not divisible by "
+                                 f"grad_accum {accum}")
+            micro = {k: v.reshape((accum, b // accum) + v.shape[1:])
+                     for k, v in batch.items()}
+
+            def body(carry, mb_i):
+                stats, gsum = carry
+                mb, i = mb_i
+                grads, (stats, metrics) = grads_of(
+                    state.params, stats, mb,
+                    jax.random.fold_in(drop_rng, i),
+                    seg_scale=1.0 / accum)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                return (stats, gsum), metrics
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (new_stats, grads), micro_m = jax.lax.scan(
+                body, (state.batch_stats, g0),
+                (micro, jnp.arange(accum)))
+            # Recombine metrics with full-batch semantics: means stay
+            # means, the summed offset terms sum, total recomposes.
+            w = cfg.train.loss_weights
+            metrics = {
+                "loss_seg": jnp.mean(micro_m["loss_seg"]),
+                "loss_kp": jnp.sum(micro_m["loss_kp"]),
+                "loss_ctr": jnp.sum(micro_m["loss_ctr"]),
+                "acc_rgbd": jnp.mean(micro_m["acc_rgbd"]),
+            }
+            metrics["loss"] = (w[0] * metrics["loss_seg"]
+                               + w[1] * metrics["loss_kp"]
+                               + w[2] * metrics["loss_ctr"])
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(

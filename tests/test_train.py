@@ -175,3 +175,81 @@ def test_raw_train_step_sharded():
                                                jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
         assert int(new_state.step) == 1
+
+
+def test_grad_accum_matches_full_batch_on_duplicated_halves():
+    """grad_accum=2 on a batch whose two halves are identical must produce
+    the same params/opt_state as one full-batch step: each micro-batch's
+    BN statistics equal the full batch's (duplicated data), micro losses
+    are equal, and the averaged grads equal the full-batch grads.  (On
+    non-duplicated data BN normalization differs per micro-batch — the
+    documented torch-style accumulation semantics, config.py.)"""
+    import dataclasses
+    cfg = graft._tiny_config()
+    # Dropout draws independent masks per micro-batch — zero it so the
+    # equivalence is exact.
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, cnn=dataclasses.replace(
+            cfg.model.cnn, dropout_psp=0.0, dropout_up=0.0)))
+    half = synthetic_batch(cfg, batch_size=2,
+                           n_points=cfg.model.n_sample_points,
+                           height=64, width=64)
+    batch = {k: np.concatenate([v, v], axis=0) for k, v in half.items()}
+    state, model, tx = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+
+    cfg_a = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, grad_accum=2))
+    s1, m1 = jax.jit(make_train_step(cfg, model, tx))(
+        state, batch, jax.random.PRNGKey(1))
+    s2, m2 = jax.jit(make_train_step(cfg_a, model, tx))(
+        state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-5)
+    # Tolerances: the equivalence is exact analytically, but the joint
+    # batch's BN statistics round differently in f32 than the halves'
+    # (sums over 4 vs 2 frames, ~1e-6), and at random init that flips a
+    # few ReLU/max-pool boundary units — measured grad noise ~1e-2
+    # relative on isolated entries, params ~2e-5 after one Adam step.
+    # The wiring bugs this test exists to catch (summing vs averaging =
+    # 2x on everything; a wrong seg scale = 50% on the seg term) are
+    # orders of magnitude above these bounds.
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+    # Optimizer moments are linear/quadratic in the raw grads, so a few
+    # boundary-flipped entries dominate elementwise comparison; per-leaf
+    # norm-relative distance absorbs the chaos tail while a factor-type
+    # wiring bug (0.5x / 2x) would read ~0.5 here.
+    for a, b in zip(jax.tree_util.tree_leaves(s2.opt_state),
+                    jax.tree_util.tree_leaves(s1.opt_state)):
+        if hasattr(a, "shape") and a.dtype.kind == "f":
+            a = np.asarray(a, np.float64).ravel()
+            b = np.asarray(b, np.float64).ravel()
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            if max(na, nb) < 1e-4:
+                # Bias-before-BN leaves (true gradient exactly zero —
+                # BN subtracts the mean; the ~1e-7 moments are f32
+                # cancellation residue) and single-scalar moments (PReLU
+                # alpha) are noise over noise; factor bugs still show on
+                # the hundreds of real leaves.
+                continue
+            nd = np.linalg.norm(a - b) / (na + 1e-12)
+            # Measured chaos ceiling ~1e-2 (a flipped entry dominating a
+            # small quadratic-moment leaf); a factor bug reads ~0.5.
+            assert nd < 5e-2, f"opt_state leaf rel-norm diff {nd}"
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    import dataclasses
+    import pytest
+    cfg = graft._tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, grad_accum=3))
+    batch = synthetic_batch(cfg, batch_size=2,
+                            n_points=cfg.model.n_sample_points,
+                            height=64, width=64)
+    state, model, tx = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    with pytest.raises(ValueError, match="divisible"):
+        jax.jit(make_train_step(cfg, model, tx))(
+            state, batch, jax.random.PRNGKey(1))
