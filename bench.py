@@ -132,6 +132,8 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / a100["central"], 3),
+        "vs_optimistic": round(fps / a100["optimistic"], 3),
+        "batch": args.batch,
         "baseline": {"a100_reference_fps_estimate": a100,
                      "source": "benchmarks/a100_baseline.py cost model",
                      "target": "vs_baseline >= 2 (BASELINE.json)"},

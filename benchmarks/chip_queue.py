@@ -43,12 +43,21 @@ SECTIONS = [
     ("bench_packed", [sys.executable, "bench.py",
                       "--resize_method", "matmul_packed"]),
     ("bench_dense_cnn", [sys.executable, "bench.py", "--dense_cnn"]),
+    ("bench_batch2", [sys.executable, "bench.py", "--batch", "2"]),
+    ("bench_batch4", [sys.executable, "bench.py", "--batch", "4"]),
     ("raw_pipeline", [sys.executable, "-m",
                       "benchmarks.raw_pipeline_bench"]),
     ("train_steps", [sys.executable, "-m", "benchmarks.train_bench",
                      "--batch", "4", "--steps", "20"]),
+    ("train_bs24_accum", [sys.executable, "-m", "benchmarks.train_bench",
+                          "--batch", "24", "--grad_accum", "6",
+                          "--steps", "5", "--skip_raw"]),
     ("stage_breakdown", [sys.executable, "-m",
                          "benchmarks.stage_breakdown"]),
+    ("stage_breakdown_b4", [sys.executable, "-m",
+                            "benchmarks.stage_breakdown", "--batch", "4"]),
+    ("pn2_breakdown", [sys.executable, "-m", "benchmarks.pn2_breakdown",
+                       "--iters", "100"]),
 ]
 
 

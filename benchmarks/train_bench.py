@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--remat_policy", default="", choices=("", "full", "dots"))
     ap.add_argument("--grad_accum", type=int, default=0,
                     help="micro-batches per step (TrainConfig.grad_accum)")
+    ap.add_argument("--skip_raw", action="store_true",
+                    help="time only the host-built path (the remat/accum "
+                         "ladder doesn't need the raw-path compile)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config (CPU smoke of the harness itself)")
     from pvn3d_tpu.utils.platform import (add_platform_args,
@@ -101,17 +104,20 @@ def main():
     step_built = jax.jit(base, donate_argnums=(0,))
     dt_built, state2 = time_steps(step_built, state, built, rng, args.steps)
 
-    raw = synth_raw_batch(cfg, args.batch)
+    if args.skip_raw:
+        dt_raw = float("nan")
+    else:
+        raw = synth_raw_batch(cfg, args.batch)
 
-    def step_raw(state, raw_b, rng):
-        b_rng = jax.random.fold_in(rng, state.step)
-        batch = build_train_batch_device(
-            raw_b, b_rng, n_sample=mc.n_sample_points,
-            n_classes=mc.n_classes, dataset="ycb")
-        return base(state, batch, rng)
+        def step_raw(state, raw_b, rng):
+            b_rng = jax.random.fold_in(rng, state.step)
+            batch = build_train_batch_device(
+                raw_b, b_rng, n_sample=mc.n_sample_points,
+                n_classes=mc.n_classes, dataset="ycb")
+            return base(state, batch, rng)
 
-    dt_raw, _ = time_steps(jax.jit(step_raw, donate_argnums=(0,)),
-                           state2, raw, rng, args.steps)
+        dt_raw, _ = time_steps(jax.jit(step_raw, donate_argnums=(0,)),
+                               state2, raw, rng, args.steps)
 
     print(json.dumps({
         "metric": "train_frames_per_s_per_chip",
