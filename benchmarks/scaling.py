@@ -39,13 +39,15 @@ def measure(dp: int, cfg, per_device_batch: int, steps: int) -> float:
         state = jax.device_put(state, replicated(mesh))
         dev_batch = shard_batch(mesh, batch)
         state, m = step(state, dev_batch, rng)      # compile
-        jax.block_until_ready(m)
+        float(jax.device_get(m["loss"]))            # value fetch = real sync
         t0 = time.perf_counter()
         for i in range(steps):
             b2 = dict(dev_batch,
                       pointcloud=dev_batch["pointcloud"] + i * 1e-6)
             state, m = step(state, b2, rng)
-        jax.block_until_ready(m)
+        # The tunnel's block_until_ready can return early (profiling.py);
+        # fetch the chained loss value instead.
+        float(jax.device_get(m["loss"]))
     dt = (time.perf_counter() - t0) / steps
     return batch_size / dt                           # frames/s
 

@@ -54,12 +54,16 @@ def synth_raw_batch(cfg, b: int, seed: int = 0):
 
 
 def time_steps(step, state, batch, rng, n):
-    state, _ = step(state, batch, rng)           # compile + warm
-    jax.block_until_ready(state.params)
+    state, m0 = step(state, batch, rng)          # compile + warm
+    float(jax.device_get(m0["loss"]))            # value fetch = real sync
     t0 = time.perf_counter()
     for _ in range(n):
         state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
+    # Sync by VALUE FETCH: the tunnel's block_until_ready can return
+    # without blocking (see utils/profiling.py) — round-3's 10-13 ms
+    # batch-4 "train step" was 3-10x past the bf16 roofline because of
+    # exactly this.  The final loss depends on every chained step.
+    float(jax.device_get(metrics["loss"]))
     return (time.perf_counter() - t0) / n, state
 
 

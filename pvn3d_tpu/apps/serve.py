@@ -146,7 +146,10 @@ def main(argv=None):
             poses, t_sub = None, None
         if pending is not None:
             p_poses, p_t, p_i = pending
-            jax.block_until_ready(p_poses)
+            # Value fetch, not block_until_ready: the tunnel's block can
+            # return early (utils/profiling.py) and the poses are read
+            # below anyway.
+            p_poses = jax.device_get(p_poses)
             done = time.perf_counter()
             if p_i >= args.warmup:
                 lat.append(done - p_t)

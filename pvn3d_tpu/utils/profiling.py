@@ -91,8 +91,15 @@ def device_loop_time(fn: Callable[[jnp.ndarray], jnp.ndarray],
     run(jnp.float32(s0)).block_until_ready()
 
     def timed():
+        # Sync by VALUE FETCH, not block_until_ready: the tunnel's
+        # block_until_ready can return without blocking (measured: a
+        # 230 ms matmul chain "blocked" in 0.1 ms and the value fetch
+        # then took 796 ms — _roofline_probe, round 4).  Fetching the
+        # scalar is the only reliable barrier; its ~30-45 ms RTT is the
+        # same per-dispatch floor the iters>=50 guidance already covers.
         t0 = time.perf_counter()
-        run(jnp.float32(s0 + 1.0 + random.random())).block_until_ready()
+        float(jax.device_get(
+            run(jnp.float32(s0 + 1.0 + random.random()))))
         return time.perf_counter() - t0
 
     t1 = timed()
