@@ -78,6 +78,15 @@ def main():
     ap.add_argument("--skip_raw", action="store_true",
                     help="time only the host-built path (the remat/accum "
                          "ladder doesn't need the raw-path compile)")
+    ap.add_argument("--host_batch", action="store_true",
+                    help="feed numpy batches (re-upload per step) instead "
+                         "of device-resident arrays — measures the H2D "
+                         "path too.  apps/train overlaps uploads with "
+                         "compute (loader.prefetch_to_device), so the "
+                         "device-resident time is the steady-state step "
+                         "cost; through THIS dev tunnel the upload is "
+                         "~11-25 MB/s and dominates when not overlapped "
+                         "(measured 1.98 s vs 0.14 s at batch 4)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config (CPU smoke of the harness itself)")
     from pvn3d_tpu.utils.platform import (add_platform_args,
@@ -105,6 +114,9 @@ def main():
     base = make_train_step(cfg, model, tx)
     rng = jax.random.PRNGKey(1)
 
+    import jax.numpy as jnp
+    if not args.host_batch:
+        built = {k: jnp.asarray(v) for k, v in built.items()}
     step_built = jax.jit(base, donate_argnums=(0,))
     dt_built, state2 = time_steps(step_built, state, built, rng, args.steps)
 
@@ -112,6 +124,8 @@ def main():
         dt_raw = float("nan")
     else:
         raw = synth_raw_batch(cfg, args.batch)
+        if not args.host_batch:
+            raw = {k: jnp.asarray(v) for k, v in raw.items()}
 
         def step_raw(state, raw_b, rng):
             b_rng = jax.random.fold_in(rng, state.step)
@@ -131,6 +145,7 @@ def main():
         "raw_ms_per_step": round(dt_raw * 1e3, 1),
         "raw_frames_per_s": round(args.batch / dt_raw, 2),
         "batch": args.batch, "remat": args.remat,
+        "host_batch": args.host_batch,
         "remat_policy": args.remat_policy or "full",
         "grad_accum": max(args.grad_accum, 1),
         "note": "raw = device-side augment+fill+normals+sampling+targets "
