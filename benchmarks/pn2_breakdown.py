@@ -43,8 +43,11 @@ def main(argv=None):
     rng = jax.random.PRNGKey(0)
     dtype = jnp.dtype(cfg.model.compute_dtype)
 
-    # Floor calibration: a trivial op inside the same harness.
-    floor = device_loop_time(lambda i: jnp.sum(i), iters=args.iters)
+    # Floor calibration: a trivial op inside the same harness.  Min of
+    # three — one slow tunnel fetch in a single floor run once pushed
+    # every subtracted number negative.
+    floor = min(device_loop_time(lambda i: jnp.sum(i), iters=args.iters)
+                for _ in range(3))
 
     results = {}
 

@@ -204,3 +204,18 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int,
         interpret=interpret,
     )(xt)
     return out[:b]
+
+
+# Round-4 optimization notes (measured on v5-lite, N=12288, m=2048, B=1,
+# wide layout at 1.04 ms floor-corrected = ~508 ns/step):
+#  * Replacing the (1, npoint) where-masked output write with a dynamic
+#    sublane store into an (npoint, 128) buffer: 1.033 vs 1.048 ms — the
+#    output write is NOT the bottleneck.  (Dynamic LANE stores are
+#    rejected by Mosaic: lane offsets must be multiples of 128.)
+#  * Fetching the picked point's coordinates via SMEM scalar loads
+#    instead of the three masked-sum extractions: infeasible — SMEM
+#    allocation pads (N, 3) f32 ~40x past the 1 MB scalar-memory limit.
+#  * The step is latency-bound on its ~5 cross-lane reductions (3
+#    coordinate extractions + max + min-index), each a multi-op shift
+#    tree over (8, 1536); elementwise width is not the constraint.
+#    Serial-chain floor stands unless the extraction count drops.
