@@ -97,9 +97,12 @@ class PointNet2Config:
     """PointNet++ MSG semantic-seg trunk (reference: pvn3d.py:46-154)."""
     input_channels: int = 6          # rgb + normal features per point
     use_xyz: bool = True
-    # Neighbor-selection mode: "auto" (approx_min_k on TPU, exact top_k
-    # elsewhere), "exact", "approx", or "pallas" (fused residue-class
-    # ball-query kernel, ops/pallas/query.py).
+    # Neighbor-selection mode: "exact", "approx", "pallas" (fused
+    # residue-class ball-query kernel, ops/pallas/query.py), or "auto" —
+    # which is TRAIN/EVAL-aware on TPU: approx while training, pallas at
+    # eval (exact elsewhere).  Measured r4: training through the pallas
+    # kernel's capacity-limited neighbor sets costs ~12 synthetic-e2e
+    # ADD-AUC, while at eval it is the best arm (models/pointnet2.py).
     query_mode: str = "auto"
     # FP-stage 3-NN interpolation kernel, independent of the ball query:
     # "auto" resolves to the fused exact 3-NN+IDW pallas kernel on TPU

@@ -73,8 +73,18 @@ class SetAbstractionMSG(nn.Module):
                                         groups=self.fps_groups,
                                         slab_sorted=self.fps_slab_sorted)
             new_xyz = gather_points(xyz, idx)
+        # "auto" is TRAIN/EVAL-aware: the fused pallas query is the best
+        # measured EVAL arm (synthetic-e2e ADD-AUC 33.8 vs 33.0 exact /
+        # 32.6 approx on one checkpoint, r3), but TRAINING through its
+        # capacity-limited neighbor sets measurably hurts (r4 A/B, 600
+        # steps: pallas-trained 26.9 ADD-AUC / 0.797 seg vs
+        # approx-trained-pallas-evaled 38.9 / 0.841).  Explicit modes
+        # are honored verbatim in both phases.
+        qmode = self.query_mode
+        if qmode == "auto" and self.train:
+            qmode = "approx" if jax.default_backend() == "tpu" else "auto"
         scale_idx = ball_query_multi(self.level.radii, self.level.nsamples,
-                                     xyz, new_xyz, mode=self.query_mode,
+                                     xyz, new_xyz, mode=qmode,
                                      recall=self.query_recall,
                                      compute_dtype=self.query_compute,
                                      capacity=self.query_capacity)
