@@ -25,6 +25,23 @@ from pvn3d_tpu.ops.grouping import ball_query_multi, group_points
 from pvn3d_tpu.ops.interpolate import idw_weights
 
 
+def resolve_query_mode(mode: str, train: bool, backend: str) -> str:
+    """Phase-aware ball-query mode resolution (pure; unit-tested).
+
+    "auto" keeps the fused pallas kernel for EVAL on TPU (best measured
+    accuracy arm) but trains through approx — the r4 600-step A/B
+    measured ~12 synthetic-e2e ADD-AUC lost to training through the
+    pallas kernel's capacity-limited neighbor sets (26.88/0.797 vs
+    38.85/0.841).  Explicit modes pass through verbatim; off-TPU the
+    downstream "auto" resolves to exact top_k (ops/grouping.py).
+    """
+    if mode != "auto":
+        return mode
+    if train:
+        return "approx" if backend == "tpu" else "auto"
+    return mode
+
+
 class SetAbstractionMSG(nn.Module):
     """One SA level: FPS centroids + per-radius group/MLP/max-pool.
 
@@ -73,16 +90,8 @@ class SetAbstractionMSG(nn.Module):
                                         groups=self.fps_groups,
                                         slab_sorted=self.fps_slab_sorted)
             new_xyz = gather_points(xyz, idx)
-        # "auto" is TRAIN/EVAL-aware: the fused pallas query is the best
-        # measured EVAL arm (synthetic-e2e ADD-AUC 33.8 vs 33.0 exact /
-        # 32.6 approx on one checkpoint, r3), but TRAINING through its
-        # capacity-limited neighbor sets measurably hurts (r4 A/B, 600
-        # steps: pallas-trained 26.9 ADD-AUC / 0.797 seg vs
-        # approx-trained-pallas-evaled 38.9 / 0.841).  Explicit modes
-        # are honored verbatim in both phases.
-        qmode = self.query_mode
-        if qmode == "auto" and self.train:
-            qmode = "approx" if jax.default_backend() == "tpu" else "auto"
+        qmode = resolve_query_mode(self.query_mode, self.train,
+                                   jax.default_backend())
         scale_idx = ball_query_multi(self.level.radii, self.level.nsamples,
                                      xyz, new_xyz, mode=qmode,
                                      recall=self.query_recall,

@@ -459,3 +459,15 @@ class TestHeadSplitGlobal:
         on, _ = self._run(True, train=True)
         for k in off:
             np.testing.assert_array_equal(on[k], off[k])
+
+
+def test_query_mode_auto_is_phase_aware():
+    """auto = approx while TRAINING on TPU, pallas (downstream auto) at
+    eval; explicit modes pass through (r4 accuracy A/B, pointnet2.py)."""
+    from pvn3d_tpu.models.pointnet2 import resolve_query_mode
+    assert resolve_query_mode("auto", True, "tpu") == "approx"
+    assert resolve_query_mode("auto", False, "tpu") == "auto"
+    assert resolve_query_mode("auto", True, "cpu") == "auto"
+    for mode in ("exact", "approx", "pallas"):
+        for train in (True, False):
+            assert resolve_query_mode(mode, train, "tpu") == mode
