@@ -63,7 +63,14 @@ def _winner_stats(points, mask, bandwidth, chunk, impl="auto"):
     also the oracle for the kernel's test).
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # The fused kernel holds the whole (K, K) f32 tile (+ membership
+        # and d2 temporaries) in VMEM: K=2048 needs 34 MB against the
+        # 16 MB scoped-vmem limit (measured compile OOM, cluster_cap
+        # 2048 A/B).  K <= 1024 fits with headroom; larger caps take the
+        # chunked XLA path.
+        k_fits_vmem = points.shape[1] <= 1024
+        impl = ("pallas" if jax.default_backend() == "tpu" and k_fits_vmem
+                else "xla")
     if impl == "pallas":
         from pvn3d_tpu.ops.pallas.winner import winner_stats_fused
         return winner_stats_fused(points, mask, float(bandwidth),
