@@ -53,6 +53,10 @@ def main(argv=None):
                    help="override ClusterConfig.max_points_per_class for "
                         "eval (0 = config default 512; use e.g. 12288 for "
                         "the all-points reference behavior)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="world + init + data-stream seed (replicate runs "
+                        "for variance estimates; the metric's run-to-run "
+                        "spread is several ADD-AUC points)")
     p.add_argument("--save_ckpt", default="",
                    help="save trained params to this .npz for reuse")
     p.add_argument("--load_ckpt", default="",
@@ -95,11 +99,12 @@ def main(argv=None):
 
     world = SyntheticWorld(n_classes=4,
                            n_keypoints=cfg.model.n_keypoints, seed=0)
-    rng_np = np.random.RandomState(0)
+    rng_np = np.random.RandomState(args.seed)
     kw = dict(n_points=n_points, height=h, width=w)
     batch0 = world.sample_batch(rng_np, args.batch, **kw)
 
-    state, model, tx = create_train_state(cfg, jax.random.PRNGKey(0), batch0)
+    state, model, tx = create_train_state(
+        cfg, jax.random.PRNGKey(args.seed), batch0)
     if args.load_ckpt:
         import pickle
         with open(args.load_ckpt, "rb") as f:
