@@ -78,6 +78,7 @@ def frame_seconds(forward_flops: float, n_classes: float, k_points: float,
 # the reference's forward cost, overstating its fps).
 FALLBACK_FORWARD_FLOPS = 6.23e11
 _FLOPS_CACHE: list = []
+_FLOPS_SOURCE: list = []
 
 
 def measured_forward_flops() -> float:
@@ -108,7 +109,7 @@ def measured_forward_flops() -> float:
             pointnet2=dataclasses.replace(
                 cfg.model.pointnet2, sa_precompute_first=False,
                 fp_precompute_first=False, query_mode="exact",
-                interp_mode="exact"))
+                interp_mode="exact", fps_mode="xla"))
         model = PVN3D(cfg=mc, train=False, sparse_cnn=False)
         pc = jax.ShapeDtypeStruct((1, mc.n_sample_points, 9), jnp.float32)
         rgb = jax.ShapeDtypeStruct(
@@ -118,12 +119,31 @@ def measured_forward_flops() -> float:
                                    pc, rgb, ch)
         params = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), variables)
-        flops = float(jax.jit(model.apply).lower(
-            params, pc, rgb, ch).cost_analysis()["flops"])
-    except Exception:
+        # Lower on the CPU backend: the axon/TPU client returns None from
+        # Lowered.cost_analysis() (probed live, jax 0.9), and FLOP counts
+        # are HLO-level — backend-independent.
+        with jax.default_device(jax.devices("cpu")[0]):
+            flops = float(jax.jit(model.apply).lower(
+                params, pc, rgb, ch).cost_analysis()["flops"])
+        source = "live"
+    except Exception as e:
+        # Loud fallback (ADVICE r4): a silent constant is exactly the
+        # rot this function exists to eliminate.  The tag is surfaced in
+        # bench.py's JSON as "flops_source".
+        import sys
+        print(f"a100_baseline: live XLA cost analysis failed ({e!r}); "
+              f"using FALLBACK_FORWARD_FLOPS={FALLBACK_FORWARD_FLOPS:.3g}",
+              file=sys.stderr, flush=True)
         flops = FALLBACK_FORWARD_FLOPS
+        source = "fallback"
     _FLOPS_CACHE.append(flops)
+    _FLOPS_SOURCE.append(source)
     return flops
+
+
+def flops_source() -> str:
+    """"live" | "fallback" | "unmeasured" — provenance of the FLOP count."""
+    return _FLOPS_SOURCE[0] if _FLOPS_SOURCE else "unmeasured"
 
 
 def estimate(forward_flops: float | None = None) -> dict:
@@ -166,6 +186,7 @@ def main():
         "metric": "a100_reference_fps_estimate",
         "fps": est,
         "forward_flops": measured_forward_flops(),
+        "flops_source": flops_source(),
         "model": "bandwidth/launch-bound MeanShift stage "
                  "(10 fits/class, 9K^2 floats/iter, cited in module "
                  "docstring) + TF32 forward + 1 ms fit/metrics",

@@ -17,11 +17,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import flax.linen as nn
+
 from pvn3d_tpu.config import Config
 from pvn3d_tpu.models.pspnet import PSPModule, PSPUpsample
-from pvn3d_tpu.models.resnet import DilatedResNet
+from pvn3d_tpu.models.resnet import BasicBlock, DilatedResNet
 from pvn3d_tpu.utils import cache
 from pvn3d_tpu.utils.profiling import device_loop_time
+
+
+class _Stage(nn.Module):
+    """One ResNet stage in isolation (same shapes/params as in the trunk)."""
+    planes: int
+    n_blocks: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        for b in range(self.n_blocks):
+            first = b == 0
+            x = BasicBlock(
+                planes=self.planes, stride=self.stride if first else 1,
+                downsample=first and (self.stride != 1
+                                      or x.shape[-1] != self.planes),
+                train=False, dtype=self.dtype, name=f"block{b}")(x)
+        return x
 
 
 def _time_module(mod, x, iters, method=None, extra=(), init_extra=None):
@@ -63,6 +84,20 @@ def main():
                           dtype=dtype)
     out["trunk"] = _time_module(trunk, rgb, args.iters)
 
+    # Per-stage trunk decomposition (stride-8 tail: layers 3/4 at h/8).
+    nb = cfg.backbone_layers
+    stage_shapes = [
+        ("trunk_layer1", 64, nb[0], 1, (1, h // 4, w // 4, 64)),
+        ("trunk_layer2", 128, nb[1], 2, (1, h // 4, w // 4, 64)),
+        ("trunk_layer3", 256, nb[2], 1, (1, h // 8, w // 8, 128)),
+        ("trunk_layer4", 512, nb[3], 1, (1, h // 8, w // 8, 256)),
+    ]
+    for name, planes, blocks, stride, shape in stage_shapes:
+        xs = jnp.asarray(rng.rand(*shape).astype(np.float32))
+        out[name] = _time_module(
+            _Stage(planes=planes, n_blocks=blocks, stride=stride,
+                   dtype=dtype), xs, args.iters)
+
     f8 = jnp.asarray(rng.rand(1, h // 8, w // 8, 512).astype(np.float32))
     psp = PSPModule(out_features=cfg.psp_out, sizes=cfg.psp_sizes,
                     dtype=dtype, resize_method=cfg.resize_method)
@@ -91,7 +126,8 @@ def main():
 
     ms = {k: round(v * 1e3, 3) for k, v in out.items()}
     dense_total = sum(v for k, v in ms.items()
-                      if k != "up_last_sparse" and not k.endswith("_fused"))
+                      if k != "up_last_sparse" and not k.endswith("_fused")
+                      and not k.startswith("trunk_layer"))
     print(json.dumps({"stage_ms": ms,
                       "dense_total_ms": round(dense_total, 3),
                       "iters": args.iters}))

@@ -39,7 +39,8 @@ from pvn3d_tpu.utils.assets import stacked_class_radii, stacked_mesh_kps
 from pvn3d_tpu.utils.profiling import device_loop_time
 
 ALL_STAGES = ("model_dense", "model_sparse", "cnn_dense", "cnn_sparse",
-              "pointnet2", "fusion_heads", "pose")
+              "pointnet2", "fusion_heads", "pose", "icp_sampled",
+              "icp_fullres")
 
 
 def main(argv=None):
@@ -146,6 +147,62 @@ def main(argv=None):
         pcld = pc[..., :3]
         time_stage("pose", lambda i: jnp.sum(pose_fn(
             pcld + i * 1e-6, seg, ctr_of, kp_of).poses))
+
+    if {"icp_sampled", "icp_fullres"} & want:
+        import numpy as np
+
+        from pvn3d_tpu.inference.pipeline import make_icp_step
+
+        rs = np.random.RandomState(0)
+        n_mesh = cfg.icp.max_mesh_points
+        mesh_icp = (rs.randn(mc.n_classes, n_mesh, 3) * 0.03
+                    ).astype(np.float32)
+        valid_icp = np.ones((mc.n_classes, n_mesh), bool)
+        valid_icp[0] = False
+        icp_step = make_icp_step(cfg, mesh_icp, valid_icp)
+        # Realistic-convergence geometry (the ICP while_loop early-exits,
+        # so timing is data-dependent): the scene IS each class's mesh
+        # under a known pose, class centers spread on a grid in front of
+        # the camera, init poses 1 cm off — ICP converges in a
+        # production-like handful of iterations instead of pinning at
+        # max_iter=500 on unfittable random clouds.
+        npts = pc.shape[1]
+        offs = np.stack([(np.arange(mc.n_classes) % 5 - 2) * 0.12,
+                         (np.arange(mc.n_classes) // 5 - 2) * 0.08,
+                         np.full(mc.n_classes, 1.0)], -1).astype(np.float32)
+        seg_icp = rs.randint(1, mc.n_classes, (b, npts)).astype(np.int32)
+        rows = rs.randint(0, n_mesh, (b, npts))
+        scene = (mesh_icp[seg_icp, rows] + offs[seg_icp]
+                 + rs.randn(b, npts, 3).astype(np.float32) * 0.001)
+        poses0 = np.tile(np.eye(3, 4, dtype=np.float32),
+                         (b, mc.n_classes, 1, 1))
+        poses0[..., :, 3] = offs[None] + 0.01
+        scene_j = jnp.asarray(scene.astype(np.float32))
+        seg_j = jnp.asarray(seg_icp)
+        poses_j = jnp.asarray(poses0)
+        if "icp_sampled" in want:
+            time_stage("icp_sampled", lambda i: jnp.sum(
+                icp_step(scene_j + i * 1e-6, seg_j, poses_j)))
+        if "icp_fullres" in want:
+            # Splat the scene into a real depth map through the YCB K1
+            # intrinsics; the full-res path then unprojects it, 1-NN
+            # label-fills from the sampled cloud and re-extracts class
+            # clouds (inference/icp.py::fullres_class_clouds).
+            K = np.array([[1066.8, 0, 313.0], [0, 1067.5, 241.3],
+                          [0, 0, 1]], np.float32)
+            h_img, w_img = mc.image_height, mc.image_width
+            depth = np.zeros((b, h_img, w_img), np.float32)
+            for bi in range(b):
+                u = np.clip((K[0, 0] * scene[bi, :, 0] / scene[bi, :, 2]
+                             + K[0, 2]).astype(int), 0, w_img - 1)
+                v = np.clip((K[1, 1] * scene[bi, :, 1] / scene[bi, :, 2]
+                             + K[1, 2]).astype(int), 0, h_img - 1)
+                depth[bi, v, u] = scene[bi, :, 2]
+            depth_j = jnp.asarray(depth)
+            camk_j = jnp.asarray(np.tile(K, (b, 1, 1)))
+            time_stage("icp_fullres", lambda i: jnp.sum(
+                icp_step(scene_j + i * 1e-6, seg_j, poses_j,
+                         depth_j, camk_j)))
 
     print(json.dumps({"stage_ms": results, "iters": args.iters,
                       "batch": args.batch}))

@@ -53,6 +53,12 @@ def main(argv=None):
                    help="override ClusterConfig.max_points_per_class for "
                         "eval (0 = config default 512; use e.g. 12288 for "
                         "the all-points reference behavior)")
+    p.add_argument("--icp", action="store_true",
+                   help="also report AUC with ICP refinement (sampled "
+                        "scene mode — the synthetic world has no full-res "
+                        "depth map; matches the reporting shape of the "
+                        "reference's eval_icp.py:325-357 with/without "
+                        "table)")
     p.add_argument("--seed", type=int, default=0,
                    help="world + init + data-stream seed (replicate runs "
                         "for variance estimates; the metric's run-to-run "
@@ -172,6 +178,9 @@ def main(argv=None):
     mesh_pts = jnp.asarray(pad_c(world.stacked_pts))
     mesh_valid = jnp.asarray(pad_c(world.stacked_valid))
 
+    metric_fn = jax.vmap(lambda p, c, r: eval_frame_metrics(
+        p, c, r, mesh_pts, mesh_valid))
+
     @jax.jit
     def infer(batch):
         out = eval_model.apply(variables, batch["pointcloud"], batch["rgb"],
@@ -179,21 +188,37 @@ def main(argv=None):
         seg = jnp.argmax(out["seg_logits"], axis=-1).astype(jnp.int32)
         frame = pose_fn(batch["pointcloud"][..., :3], seg,
                         out["ctr_offsets"], out["kp_offsets"])
-        add, adds = jax.vmap(lambda p, c, r: eval_frame_metrics(
-            p, c, r, mesh_pts, mesh_valid))(
-                frame.poses, batch["cls_ids"], batch["rts"])
-        return seg, add, adds
+        add, adds = metric_fn(frame.poses, batch["cls_ids"], batch["rts"])
+        return seg, frame.poses, add, adds
+
+    icp_step = None
+    if args.icp:
+        from pvn3d_tpu.inference.pipeline import make_icp_step
+        icp_step = make_icp_step(cfg, pad_c(world.stacked_pts),
+                                 pad_c(world.stacked_valid))
+        icp_metric = jax.jit(metric_fn)
+        ev_icp = PoseEvaluator(n_cls=n_cls, sym_cls_ids=(), ds_type="syn")
 
     ev = PoseEvaluator(n_cls=n_cls, sym_cls_ids=(), ds_type="syn")
     seg_accs = []
     for _ in range(max(args.eval_frames // args.batch, 1)):
         batch = world.sample_batch(rng_np, args.batch, **kw)
-        seg, add, adds = infer(batch)
+        seg, poses, add, adds = infer(batch)
         seg_accs.append(float(np.mean(
             np.asarray(seg) == batch["labels"])))
         for b in range(args.batch):
             ev.add_frame(batch["cls_ids"][b], np.asarray(add)[b],
                          np.asarray(adds)[b])
+        if icp_step is not None:
+            refined = icp_step(
+                jnp.asarray(batch["pointcloud"][..., :3]), seg, poses)
+            add_i, adds_i = icp_metric(refined,
+                                       jnp.asarray(batch["cls_ids"]),
+                                       jnp.asarray(batch["rts"]))
+            for b in range(args.batch):
+                ev_icp.add_frame(batch["cls_ids"][b],
+                                 np.asarray(add_i)[b],
+                                 np.asarray(adds_i)[b])
     s = ev.summarize()
     result = {
         "metric": "synthetic_e2e_add_s_auc",
@@ -203,6 +228,19 @@ def main(argv=None):
         "eval_seg_acc": round(float(np.mean(seg_accs)), 4),
         "steps": args.steps,
     }
+    if icp_step is not None:
+        # Reference reporting shape: AUC with vs without refinement
+        # (eval_icp.py:325-357 prints add/adds per class +/- ICP).
+        si = ev_icp.summarize()
+        result["icp"] = {
+            "add_s_auc": round(si["all_add_s_auc"], 2),
+            "add_auc": round(si["all_add_auc"], 2),
+            "adds_auc": round(si["all_adds_auc"], 2),
+            "delta_add_auc": round(si["all_add_auc"] - s["all_add_auc"], 2),
+            "delta_adds_auc": round(
+                si["all_adds_auc"] - s["all_adds_auc"], 2),
+            "scene_mode": "sampled",
+        }
     print(json.dumps(result), flush=True)
     return result
 

@@ -53,18 +53,38 @@ def synth_raw_batch(cfg, b: int, seed: int = 0):
     }
 
 
-def time_steps(step, state, batch, rng, n):
-    state, m0 = step(state, batch, rng)          # compile + warm
+def time_steps(step, state, batch, rng, n, floor_s_per_step=0.0):
+    """Median-of-trials seconds/step (stats dict) + final state.
+
+    Each trial times n chained steps ending in a VALUE FETCH: the
+    tunnel's block_until_ready can return without blocking (see
+    utils/profiling.py) — round-3's 10-13 ms batch-4 "train step" was
+    3-10x past the bf16 roofline because of exactly this.  Trials route
+    through device_loop_stats so one tunnel stall loses to the median
+    instead of becoming the record (round-4's 137-vs-164 ms batch-4
+    disagreement was single-trial noise with no spread annotation).
+    """
+    from pvn3d_tpu.utils.profiling import device_loop_stats
+
+    holder = {"state": state}
+    s1, m0 = step(holder["state"], batch, rng)   # compile + warm
     float(jax.device_get(m0["loss"]))            # value fetch = real sync
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, metrics = step(state, batch, rng)
-    # Sync by VALUE FETCH: the tunnel's block_until_ready can return
-    # without blocking (see utils/profiling.py) — round-3's 10-13 ms
-    # batch-4 "train step" was 3-10x past the bf16 roofline because of
-    # exactly this.  The final loss depends on every chained step.
-    float(jax.device_get(metrics["loss"]))
-    return (time.perf_counter() - t0) / n, state
+    holder["state"] = s1
+
+    def timed():
+        s = holder["state"]
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s, metrics = step(s, batch, rng)
+        float(jax.device_get(metrics["loss"]))
+        dt = time.perf_counter() - t0
+        holder["state"] = s
+        return dt
+
+    stats = device_loop_stats(None, iters=n, trials=3,
+                              floor_s_per_iter=floor_s_per_step,
+                              _timed=timed)
+    return stats, holder["state"]
 
 
 def main():
@@ -117,11 +137,24 @@ def main():
     import jax.numpy as jnp
     if not args.host_batch:
         built = {k: jnp.asarray(v) for k, v in built.items()}
+    # Physics floor for replay rejection: a train step cannot beat the
+    # forward's measured FLOPs at bf16 peak (backward only adds work;
+    # tiny config skips the floor — its FLOPs are unrelated).
+    if args.tiny:
+        floor = 0.0
+    else:
+        from benchmarks.a100_baseline import measured_forward_flops
+        # grad_accum splits the batch into micro-batches (train/step.py:
+        # 106-111) — total frames/step is args.batch either way.
+        floor = args.batch * measured_forward_flops() / 197e12
     step_built = jax.jit(base, donate_argnums=(0,))
-    dt_built, state2 = time_steps(step_built, state, built, rng, args.steps)
+    st_built, state2 = time_steps(step_built, state, built, rng,
+                                  args.steps, floor_s_per_step=floor)
+    dt_built = st_built["s_per_iter"]
 
     if args.skip_raw:
         dt_raw = float("nan")
+        st_raw = None
     else:
         raw = synth_raw_batch(cfg, args.batch)
         if not args.host_batch:
@@ -134,8 +167,21 @@ def main():
                 n_classes=mc.n_classes, dataset="ycb")
             return base(state, batch, rng)
 
-        dt_raw, _ = time_steps(jax.jit(step_raw, donate_argnums=(0,)),
-                               state2, raw, rng, args.steps)
+        st_raw, _ = time_steps(jax.jit(step_raw, donate_argnums=(0,)),
+                               state2, raw, rng, args.steps,
+                               floor_s_per_step=floor)
+        dt_raw = st_raw["s_per_iter"]
+
+    def _trialinfo(st):
+        if st is None:
+            return None
+        return {"trials_ms_per_step": [round(t * 1e3 / args.steps, 2)
+                                       for t in st["trials_s"]],
+                "rejected_stall_ms": [round(t * 1e3 / args.steps, 2)
+                                      for t in st["rejected_stall_s"]],
+                "rejected_replay_ms": [round(t * 1e3 / args.steps, 2)
+                                       for t in st["rejected_replay_s"]],
+                "spread": st["spread"], "suspect": st["suspect"]}
 
     print(json.dumps({
         "metric": "train_frames_per_s_per_chip",
@@ -144,6 +190,8 @@ def main():
         "built_ms_per_step": round(dt_built * 1e3, 1),
         "raw_ms_per_step": round(dt_raw * 1e3, 1),
         "raw_frames_per_s": round(args.batch / dt_raw, 2),
+        "built_trials": _trialinfo(st_built),
+        "raw_trials": _trialinfo(st_raw),
         "batch": args.batch, "remat": args.remat,
         "host_batch": args.host_batch,
         "remat_policy": args.remat_policy or "full",

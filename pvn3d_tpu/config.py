@@ -124,6 +124,12 @@ class PointNet2Config:
     # OFF by default; enable only where the deployment tolerates it.
     # Must divide every level's npoint and input size.
     fps_groups: int = 1
+    # FPS kernel dispatch: "auto" = pallas on TPU / XLA scan elsewhere
+    # (ops/sampling.py); "pallas"/"xla" force one arm (A/B runs, and
+    # tracing the model for a non-TPU target from a TPU-backend process —
+    # e.g. the live FLOP counter lowers on CPU, where pallas kernels
+    # cannot lower outside interpret mode).
+    fps_mode: str = "auto"
     # Nested-FPS prefix elision: greedy FPS is prefix-consistent — pick
     # k+1 maximizes min-dist over the whole set, hence over any subset
     # containing it, so FPS over a previous level's pick-ordered output

@@ -59,6 +59,9 @@ class SetAbstractionMSG(nn.Module):
     query_recall: float = 0.99
     query_capacity: int = 2
     fps_groups: int = 1
+    # PointNet2Config.fps_mode: "auto" dispatches on the backend,
+    # "pallas"/"xla" force one kernel arm.
+    fps_mode: str = "auto"
     # Input already slab-partitioned (output of a previous grouped-FPS
     # level is slab-major) — skips the per-level argsort.
     fps_slab_sorted: bool = False
@@ -86,9 +89,12 @@ class SetAbstractionMSG(nn.Module):
         if self.fps_prefix:
             new_xyz = xyz[:, :self.level.npoint]
         else:
-            idx = furthest_point_sample(xyz, self.level.npoint,
-                                        groups=self.fps_groups,
-                                        slab_sorted=self.fps_slab_sorted)
+            idx = furthest_point_sample(
+                xyz, self.level.npoint,
+                use_pallas=(None if self.fps_mode == "auto"
+                            else self.fps_mode == "pallas"),
+                groups=self.fps_groups,
+                slab_sorted=self.fps_slab_sorted)
             new_xyz = gather_points(xyz, idx)
         qmode = resolve_query_mode(self.query_mode, self.train,
                                    jax.default_backend())
@@ -214,6 +220,7 @@ class PointNet2MSG(nn.Module):
                 query_capacity=self.cfg.query_capacity,
                 precompute_first=self.cfg.sa_precompute_first,
                 fps_groups=self.cfg.fps_groups,
+                fps_mode=self.cfg.fps_mode,
                 fps_slab_sorted=self.cfg.fps_groups > 1 and li > 0,
                 fps_prefix=(self.cfg.fps_prefix
                             and self.cfg.fps_groups == 1 and li > 0),

@@ -227,10 +227,13 @@ class TestWinnerStatsFused:
         np.testing.assert_array_equal(np.asarray(oc), np.asarray(fc))
 
 
-@pytest.mark.parametrize("b", [1, 7, 8, 17])
+@pytest.mark.parametrize("b", [1, 2, 7, 8, 17])
 def test_fps_pallas_batch_layouts(b):
-    """The b < 8 wide (sublane-folded) layout, the row-major kernel at
-    b >= 8, and the grid path at b > 16 all match the XLA reference."""
+    """Every dispatch tier of fps_pallas matches the XLA reference:
+    b <= 2 takes the wide sublane-folded layout (b=2 is the production
+    B=2 path since the round-4 crossover fix), b in 3..16 the row-major
+    single-program kernel, and b > 16 the grid path (ops/pallas/fps.py
+    dispatch thresholds)."""
     xyz = jax.random.normal(jax.random.PRNGKey(3), (b, 640, 3))
     a = np.asarray(_fps_xla(xyz, 96))
     got = np.asarray(fps_pallas(xyz, 96, interpret=True))
