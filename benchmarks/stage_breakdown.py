@@ -170,7 +170,12 @@ def main(argv=None):
         offs = np.stack([(np.arange(mc.n_classes) % 5 - 2) * 0.12,
                          (np.arange(mc.n_classes) // 5 - 2) * 0.08,
                          np.full(mc.n_classes, 1.0)], -1).astype(np.float32)
-        seg_icp = rs.randint(1, mc.n_classes, (b, npts)).astype(np.int32)
+        # 6 populated classes (a realistic YCB scene): ~2048 points each
+        # clears the >= min_class_points gate, so the timed program
+        # reflects production convergence — note the un-gated classes
+        # still run icp_refine (fixed-shape XLA), the gate only selects
+        # which pose is returned.
+        seg_icp = rs.randint(1, 7, (b, npts)).astype(np.int32)
         rows = rs.randint(0, n_mesh, (b, npts))
         scene = (mesh_icp[seg_icp, rows] + offs[seg_icp]
                  + rs.randn(b, npts, 3).astype(np.float32) * 0.001)

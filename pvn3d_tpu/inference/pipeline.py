@@ -33,14 +33,22 @@ def make_pose_fn(cfg: Config, mesh_kps: np.ndarray, radii: np.ndarray,
     radii_j = jnp.asarray(radii, jnp.float32)
     cl = cfg.cluster
 
+    # Hypotheses per (K, K) distance tile in the chunked XLA winner pass:
+    # 16 at the default K=512, shrinking so one tile stays ~<= 64 MB f32 —
+    # large caps (the --cluster_cap 12288 all-points reference arm) would
+    # otherwise materialize chunk*K^2 floats at once (16 x 12288^2 ~ 9.7 GB,
+    # the round-4 "cap 12288 OOMs HBM" finding was this, not the cap itself).
+    k_cap = cl.max_points_per_class
+    chunk = max(1, min(16, (4096 * 4096 * 1) // max(k_cap * k_cap, 1)))
+
     def one_frame(pcld, mask, ctr_of, kp_of):
         return cal_frame_poses(
             pcld, mask, ctr_of, kp_of, mesh_kps_j, radii_j,
             n_cls=n_cls, n_kps=cfg.model.n_keypoints,
-            k=cl.max_points_per_class, bandwidth=cl.bandwidth,
+            k=k_cap, bandwidth=cl.bandwidth,
             max_iter=cl.max_iter, use_ctr=cl.use_ctr,
             use_ctr_clus_filter=cl.use_ctr_clus_filter,
-            refine_mask=refine_mask)
+            refine_mask=refine_mask, chunk=chunk)
 
     return jax.vmap(one_frame)
 

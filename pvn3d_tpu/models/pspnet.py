@@ -61,25 +61,6 @@ def _align_corners_coords(dst_idx, src_size: int, dst_size: int):
     return dst_idx.astype(jnp.float32) * scale
 
 
-def _bilinear_sample(x, rows_f, cols_f):
-    """Sample (B, H, W, C) at fractional (B, P) coords -> (B, P, C)."""
-    b, h, w, c = x.shape
-    r0 = jnp.clip(jnp.floor(rows_f).astype(jnp.int32), 0, h - 1)
-    c0 = jnp.clip(jnp.floor(cols_f).astype(jnp.int32), 0, w - 1)
-    r1 = jnp.minimum(r0 + 1, h - 1)
-    c1 = jnp.minimum(c0 + 1, w - 1)
-    rf = (rows_f - r0.astype(jnp.float32)).astype(x.dtype)[..., None]
-    cf = (cols_f - c0.astype(jnp.float32)).astype(x.dtype)[..., None]
-    flat = x.reshape(b, h * w, c)
-
-    def take(r, cc):
-        return jnp.take_along_axis(flat, (r * w + cc)[..., None], axis=1)
-
-    top = take(r0, c0) * (1 - cf) + take(r0, c1) * cf
-    bot = take(r1, c0) * (1 - cf) + take(r1, c1) * cf
-    return top * (1 - rf) + bot * rf
-
-
 class PSPUpsample(nn.Module):
     """2x bilinear (align_corners) + 3x3 conv + BN + PReLU
     (reference: pspnet.py:34-45).  ``sparse`` evaluates the SAME stage
@@ -151,24 +132,70 @@ class PSPUpsample(nn.Module):
         """Evaluate at output pixels (rows, cols): (B, H, W, C), (B, P) ->
         (B, P, features).  The 3x3 conv input patch is reconstructed by
         bilinear-sampling the (2H, 2W) virtual upsampled map; positions
-        outside it contribute zeros (the conv's zero padding)."""
-        b, h, w, _ = x.shape
+        outside it contribute zeros (the conv's zero padding).
+
+        Gather plan (round 5 — the tap-by-tap form cost 36 gathers/pixel
+        and was gather-bound at 0.94 ms): the 9 taps' 2x2 bilinear
+        corners all live inside ONE 3x3 source patch anchored at the
+        dr=-1 tap's floor coordinate — consecutive taps advance the
+        fractional source coordinate by 2*(h-1)/(2h-1) < 1, so floors
+        differ by at most 1, and the +1 lerp partners stay within index
+        2 (clipping folds the h-1 edge into the same patch rows).  So:
+        9 gathers for the patch, then per-tap corners are 2-way selects
+        on the (0/1) floor offsets.  Bit-identical inputs to the same
+        lerp expression as before."""
+        b, h, w, c = x.shape
         oh, ow = 2 * h, 2 * w
-        patches = []
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
-                rr = rows + dr
-                cc = cols + dc
-                inside = ((rr >= 0) & (rr < oh) & (cc >= 0) & (cc < ow))
-                rf = _align_corners_coords(jnp.clip(rr, 0, oh - 1), h, oh)
-                cf = _align_corners_coords(jnp.clip(cc, 0, ow - 1), w, ow)
-                v = _bilinear_sample(x, rf, cf)          # (B, P, C)
-                patches.append(jnp.where(inside[..., None], v, 0))
-        patch = jnp.stack(patches, axis=2)               # (B, P, 9, C)
-        p = patch.shape[1]
-        patch = patch.reshape(b * p, 3, 3, x.shape[-1])
+        flat = x.reshape(b, h * w, c)
+
+        def axis_info(base, d, src, dst):
+            t = base + d
+            inside = (t >= 0) & (t < dst)
+            f = _align_corners_coords(jnp.clip(t, 0, dst - 1), src, dst)
+            i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, src - 1)
+            return inside, f, i0
+
+        r_info = [axis_info(rows, d, h, oh) for d in (-1, 0, 1)]
+        c_info = [axis_info(cols, d, w, ow) for d in (-1, 0, 1)]
+        row0 = r_info[0][2]                       # smallest floor (B, P)
+        col0 = c_info[0][2]
+        pr = [jnp.minimum(row0 + k, h - 1) for k in range(3)]
+        pc = [jnp.minimum(col0 + l, w - 1) for l in range(3)]
+        # (B, P, 3, 3, C) source patch — 9 gathers total.
+        patch = jnp.stack([
+            jnp.stack([jnp.take_along_axis(
+                flat, (pr[k] * w + pc[l])[..., None], axis=1)
+                for l in range(3)], axis=2)
+            for k in range(3)], axis=2)
+
+        def corner(i, j, offr, offc):
+            # patch[offr + i, offc + j] with offr/offc in {0, 1}.
+            a = jnp.where(offc[..., None] == 0, patch[:, :, i, j],
+                          patch[:, :, i, j + 1])
+            bb = jnp.where(offc[..., None] == 0, patch[:, :, i + 1, j],
+                           patch[:, :, i + 1, j + 1])
+            return jnp.where(offr[..., None] == 0, a, bb)
+
+        taps = []
+        for (rin, rf, r0) in r_info:
+            offr = r0 - row0
+            rfr = (rf - r0.astype(jnp.float32)).astype(x.dtype)[..., None]
+            for (cin_, cf, c0) in c_info:
+                offc = c0 - col0
+                cfr = (cf - c0.astype(jnp.float32)
+                       ).astype(x.dtype)[..., None]
+                top = (corner(0, 0, offr, offc) * (1 - cfr)
+                       + corner(0, 1, offr, offc) * cfr)
+                bot = (corner(1, 0, offr, offc) * (1 - cfr)
+                       + corner(1, 1, offr, offc) * cfr)
+                v = top * (1 - rfr) + bot * rfr
+                inside = rin & cin_
+                taps.append(jnp.where(inside[..., None], v, 0))
+        patch9 = jnp.stack(taps, axis=2)                 # (B, P, 9, C)
+        p = patch9.shape[1]
+        patch9 = patch9.reshape(b * p, 3, 3, c)
         # VALID conv on a 3x3 patch == the center output pixel only.
-        y = self.conv(patch)[:, 0, 0, :].reshape(b, p, self.features)
+        y = self.conv(patch9)[:, 0, 0, :].reshape(b, p, self.features)
         y = self.bn(y, bn_momentum)
         return self.prelu(y)
 

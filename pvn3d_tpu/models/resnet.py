@@ -21,6 +21,51 @@ import jax.numpy as jnp
 from pvn3d_tpu.models.layers import BatchNorm, max_pool_3x3_s2
 
 
+def fold2(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (pi, pj, c)."""
+    b, h, w, c = x.shape
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(
+        b, h // 2, w // 2, 4 * c)
+
+
+def unfold2(y):
+    """Inverse of :func:`fold2`."""
+    b, hh, ww, c4 = y.shape
+    c = c4 // 4
+    ys = y.reshape(b, hh, ww, 2, 2, c)
+    return jnp.transpose(ys, (0, 1, 3, 2, 4, 5)).reshape(
+        b, 2 * hh, 2 * ww, c)
+
+
+def _phase_kernel3(k):
+    """Regroup a stride-1 3x3 kernel (3, 3, C, O) into the 2x2
+    phase-folded space: (3, 3, 4C, 4O), channel order (pi, pj, c).
+
+    With output phase pi and full-space tap oi, the tap row 2R+pi+oi
+    lands in input phase qi = (pi+oi) mod 2 at phase-space offset
+    ai = (pi+oi-qi)/2 in {-1, 0, 1} — each original tap fills exactly
+    one (ai, qi) slot, so the folded conv (SAME pad 1) computes the
+    SAME multiply-adds; 36 of the 144 (ai, aj, q, p) blocks are nonzero.
+    The point: C=64 convs half-fill the 128-wide MXU lanes (layer1
+    measured 27 TFLOP/s vs layer3/4 at ~180); folded, both operands are
+    256 channels wide.  4x the issued MACs at ~6.7x the utilization.
+    """
+    cin, co = k.shape[2], k.shape[3]
+    kp = jnp.zeros((3, 3, 2, 2, cin, 2, 2, co), k.dtype)
+    for pi in range(2):
+        for oi in range(3):
+            s = pi + oi - 1
+            qi, ai = s % 2, (s - s % 2) // 2
+            for pj in range(2):
+                for oj in range(3):
+                    t = pj + oj - 1
+                    qj, aj = t % 2, (t - t % 2) // 2
+                    kp = kp.at[ai + 1, aj + 1, qi, qj, :, pi, pj, :].set(
+                        k[oi, oj])
+    return kp.reshape(3, 3, 4 * cin, 4 * co)
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -28,25 +73,64 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     train: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Eval-only: input/output are 2x2 phase-folded (fold2) and the two
+    # 3x3 convs run with _phase_kernel3-regrouped kernels — exactly the
+    # same function (up to f32 summation order), full-lane channels.
+    # Only valid for stride-1, dilation-1, no-downsample blocks.
+    phase2: bool = False
 
     @nn.compact
     def __call__(self, x, bn_momentum=0.1):
-        pad = self.dilation
-        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding=((pad, pad), (pad, pad)),
-                    kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv1")(x)
-        y = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
-                      name="bn1")(y, bn_momentum)
+        conv1 = nn.Conv(self.planes, (3, 3),
+                        strides=(self.stride, self.stride),
+                        padding=((self.dilation, self.dilation),
+                                 (self.dilation, self.dilation)),
+                        kernel_dilation=(self.dilation, self.dilation),
+                        use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="conv1")
+        bn1 = BatchNorm(use_running_average=not self.train,
+                        dtype=self.dtype, name="bn1")
+        conv2 = nn.Conv(self.planes, (3, 3), strides=(1, 1),
+                        padding=((self.dilation, self.dilation),
+                                 (self.dilation, self.dilation)),
+                        kernel_dilation=(self.dilation, self.dilation),
+                        use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="conv2")
+        bn2 = BatchNorm(use_running_average=not self.train,
+                        dtype=self.dtype, name="bn2")
+
+        phase = (self.phase2 and not self.train
+                 and not self.is_initializing())
+        if phase:
+            assert (self.stride == 1 and self.dilation == 1
+                    and not self.downsample)
+
+            def conv_p(inp, conv_mod):
+                kp = _phase_kernel3(conv_mod.variables["params"]["kernel"])
+                return jax.lax.conv_general_dilated(
+                    inp.astype(self.dtype), kp.astype(self.dtype),
+                    (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+            def bn_p(inp, bn_mod):
+                v = bn_mod.variables
+                scale = jnp.tile(v["params"]["scale"], 4)
+                bias = jnp.tile(v["params"]["bias"], 4)
+                mean = jnp.tile(v["batch_stats"]["mean"], 4)
+                var = jnp.tile(v["batch_stats"]["var"], 4)
+                inv = jax.lax.rsqrt(var + bn_mod.epsilon) * scale
+                out = (inp.astype(jnp.float32) - mean) * inv + bias
+                return out.astype(self.dtype)
+
+            y = nn.relu(bn_p(conv_p(x, conv1), bn1))
+            y = bn_p(conv_p(y, conv2), bn2)
+            return nn.relu(y + x)
+
+        y = conv1(x)
+        y = bn1(y, bn_momentum)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), strides=(1, 1),
-                    padding=((pad, pad), (pad, pad)),
-                    kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv2")(y)
-        y = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
-                      name="bn2")(y, bn_momentum)
+        y = conv2(y)
+        y = bn2(y, bn_momentum)
         residual = x
         if self.downsample:
             residual = nn.Conv(self.planes, (1, 1),
@@ -110,6 +194,14 @@ class DilatedResNet(nn.Module):
     # in train and eval (params keep the reference (7,7,3,64) layout; the
     # regroup is a constant-folded transform of the kernel).
     s2d_stem: bool = True
+    # Eval-only phase-folded layer1: the C=64 3x3 convs at 120x160 run
+    # half-lane on the MXU (measured 27 TFLOP/s vs ~180 for layers 3/4).
+    # fold2 the stage input, run every block with _phase_kernel3-regrouped
+    # 256-channel kernels, unfold2 at the stage exit — same multiply-adds
+    # regrouped (BasicBlock.phase2).  Train keeps the reference graph
+    # (phase-space BN batch stats would fold the 4 phases into one
+    # channel's statistics).
+    phase_layer1: bool = True
 
     @nn.compact
     def __call__(self, x, bn_momentum=0.1):
@@ -132,6 +224,12 @@ class DilatedResNet(nn.Module):
         in_planes = 64
         for s, (planes, stride) in enumerate(stages):
             dilation = self.dilations[s]
+            phase_stage = (s == 0 and self.phase_layer1 and not self.train
+                           and not self.is_initializing()
+                           and stride == 1 and dilation == 1
+                           and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+            if phase_stage:
+                x = fold2(x)
             for b in range(self.layers[s]):
                 first = b == 0
                 x = BasicBlock(
@@ -140,6 +238,9 @@ class DilatedResNet(nn.Module):
                     dilation=dilation,
                     downsample=first and (stride != 1 or in_planes != planes),
                     train=self.train, dtype=self.dtype,
+                    phase2=phase_stage,
                     name=f"layer{s + 1}_block{b}")(x, bn_momentum)
+            if phase_stage:
+                x = unfold2(x)
             in_planes = planes
         return x

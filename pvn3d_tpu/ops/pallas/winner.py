@@ -11,11 +11,14 @@ entirely in VMEM (512x512 f32 = 1 MB): one MXU dot for the cross terms,
 VPU threshold+count, row extraction of the winner — nothing but the
 (H, K) inputs and outputs ever touches HBM.
 
-Distances use the expanded |a|^2 - 2ab + |b|^2 form in full f32 (the MXU
-default would truncate to bf16 and perturb d^2 at the bandwidth^2 scale —
-see CLAUDE.md); equal to the XLA path up to f32 rounding of the same
-expression, so membership can differ only for points within ~1e-6 of the
-bandwidth boundary.
+Distances use the direct (a_i - a_j)^2 form on the VPU, in full f32: the
+expanded |a|^2 - 2ab + |b|^2 MXU form was a depth-3 contraction through
+the 128-deep systolic array (~2% utilization — measured ~2/3 of kernel
+time), and its cancellation also perturbs d^2 near the boundary (the
+exact ball query made the same call, ops/grouping.py).  Membership can
+differ from the expanded-form XLA fallback only for points within f32
+rounding (~1e-6 relative) of the bandwidth boundary; the oracle test
+tolerates exactly that window.
 """
 from __future__ import annotations
 
@@ -29,21 +32,26 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 
 
-def _winner_kernel(bw2: float, pts_ref, msk_ref, mskc_ref,
+def _winner_kernel(bw2: float, pts_ref, ptsr_ref, msk_ref, mskc_ref,
                    lab_ref, win_ref, cnt_ref):
     a = pts_ref[0]                                    # (K, 3)
+    ar = ptsr_ref[0]                                  # (3, K) pre-transposed
     m = msk_ref[0]                                    # (1, K)
     mc = mskc_ref[0]                                  # (K, 1) same mask
-    asq = jnp.sum(a * a, axis=1, keepdims=True)       # (K, 1)
-    cross = jax.lax.dot_general(
-        a, a, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)          # (K, K)
-    # Same association order as meanshift._pairwise_sqdist ((a-2c)+b) so
-    # boundary membership is bit-identical to the XLA oracle.  The row
-    # mask arrives pre-transposed as a second input (Mosaic cannot
-    # transpose i1 vectors in-kernel).
-    d2 = jnp.maximum(asq - 2.0 * cross + jnp.transpose(asq), 0.0)
+    # Direct (a_i - a_j)^2 distances on the VPU.  The previous form fed a
+    # depth-3 contraction to the MXU (|a|^2 - 2ab + |b|^2): a 128-deep
+    # systolic pass at 3/128 utilization was ~2/3 of the kernel's time
+    # (0.59 ms for the 168-hypothesis keypoint pass).  Three broadcast
+    # sub+FMA sweeps over the (K, K) tile are pure VPU work — and the
+    # direct form is also the numerically better one (no cancellation;
+    # same reasoning as the exact-mode ball query, ops/grouping.py).
+    # Boundary membership can differ from the XLA oracle's expanded form
+    # by ~1e-6 * d^2 rounding; the oracle comparison tolerates exactly
+    # that window (tests/test_pallas.py::_assert_winner_match).
+    d2 = jnp.zeros(a.shape[:1] + ar.shape[1:], jnp.float32)
+    for c in range(3):
+        diff = a[:, c:c + 1] - ar[c:c + 1, :]         # (K, K)
+        d2 = d2 + diff * diff
     in_bw = (d2 < bw2) & (m > 0.5) & (mc > 0.5)         # (K, K)
     num_in = jnp.sum(in_bw.astype(jnp.int32), axis=1)   # (K,)
     # Mosaic argmax lowers for f32 only; counts <= K < 2^24 are exact.
@@ -75,6 +83,7 @@ def winner_stats_fused(points: jnp.ndarray, mask: jnp.ndarray,
         pts = jnp.pad(pts, ((0, 0), (0, k_pad - k), (0, 0)))
         msk = jnp.pad(msk, ((0, 0), (0, 0), (0, k_pad - k)))
     mskc = jnp.swapaxes(msk, 1, 2)                        # (H, K, 1)
+    pts_r = jnp.swapaxes(pts, 1, 2)                       # (H, 3, K)
 
     kernel = functools.partial(_winner_kernel,
                                float(bandwidth) * float(bandwidth))
@@ -83,6 +92,8 @@ def winner_stats_fused(points: jnp.ndarray, mask: jnp.ndarray,
         grid=(h,),
         in_specs=[
             pl.BlockSpec((1, k_pad, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, k_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, k_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -104,5 +115,5 @@ def winner_stats_fused(points: jnp.ndarray, mask: jnp.ndarray,
             jax.ShapeDtypeStruct((h, 1, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(pts, msk, mskc)
+    )(pts, pts_r, msk, mskc)
     return win[:, 0, 0], labels[:, 0, :k] > 0, counts[:, 0, 0]

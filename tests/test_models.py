@@ -471,3 +471,52 @@ def test_query_mode_auto_is_phase_aware():
     for mode in ("exact", "approx", "pallas"):
         for train in (True, False):
             assert resolve_query_mode(mode, train, "tpu") == mode
+
+
+class TestPhaseFoldedLayer1:
+    """Eval-only 2x2 phase-folded layer1 (models/resnet.py::fold2/
+    _phase_kernel3/BasicBlock.phase2): exactly the reference multiply-adds
+    regrouped for full-lane channels."""
+
+    def test_phase_kernel3_equals_full_space_conv(self):
+        from pvn3d_tpu.models.resnet import _phase_kernel3, fold2, unfold2
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 8, 10, 5).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+        y_full = jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y_phase = unfold2(jax.lax.conv_general_dilated(
+            fold2(x), _phase_kernel3(k), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        np.testing.assert_allclose(np.asarray(y_phase), np.asarray(y_full),
+                                   atol=1e-4)
+
+    def test_fold_unfold_roundtrip(self):
+        from pvn3d_tpu.models.resnet import fold2, unfold2
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(3, 6, 8, 5).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(unfold2(fold2(x))),
+                                      np.asarray(x))
+
+    def test_trunk_phase_layer1_matches_standard(self):
+        from pvn3d_tpu.models.resnet import DilatedResNet
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+        base = DilatedResNet(layers=(2, 2, 2, 2), train=False,
+                             dtype=jnp.float32, phase_layer1=False)
+        variables = base.init(jax.random.PRNGKey(0), x)
+        # Randomize BN running stats so the phase-space tiled-BN path is
+        # actually exercised (init stats are the 0/1 identity).
+        stats = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(
+                0.5 + 0.3 * np.random.RandomState(a.size).rand(
+                    *a.shape).astype(np.float32)),
+            variables["batch_stats"])
+        variables = {"params": variables["params"], "batch_stats": stats}
+        y0 = base.apply(variables, x)
+        y1 = DilatedResNet(layers=(2, 2, 2, 2), train=False,
+                           dtype=jnp.float32,
+                           phase_layer1=True).apply(variables, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=2e-4, rtol=1e-4)
