@@ -58,6 +58,12 @@ SECTIONS = [
                             "benchmarks.stage_breakdown", "--batch", "4"]),
     ("pn2_breakdown", [sys.executable, "-m", "benchmarks.pn2_breakdown",
                        "--iters", "100"]),
+    ("cnn_breakdown", [sys.executable, "-m", "benchmarks.cnn_breakdown",
+                       "--iters", "50"]),
+    ("pose_breakdown", [sys.executable, "-m", "benchmarks.pose_breakdown",
+                        "--iters", "200"]),
+    ("icp_stages", [sys.executable, "-m", "benchmarks.stage_breakdown",
+                    "--stages", "icp_sampled", "icp_fullres"]),
 ]
 
 

@@ -47,7 +47,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--batch", type=int, default=1)
-    p.add_argument("--stages", nargs="+", default=list(ALL_STAGES),
+    # ICP stages are opt-in (not part of the core pipeline stage-sum;
+    # chip_queue runs them as their own section).
+    p.add_argument("--stages", nargs="+",
+                   default=[s for s in ALL_STAGES
+                            if not s.startswith("icp")],
                    choices=ALL_STAGES)
     from pvn3d_tpu.utils.platform import (add_platform_args,
                                            apply_platform)

@@ -36,29 +36,30 @@ _BIG = 1e30
 
 
 def _interp_kernel(m_valid: int, eps: float,
-                   u_ref, k_ref, f_ref, out_ref, dist_ref, idx_ref, d2_ref):
+                   un_ref, k_ref, f_ref, out_ref, dist_ref, idx_ref, d2_ref):
     """One (batch row, unknown tile) program.
 
-    u_ref: (1, 3, Nt) f32; k_ref: (1, 3, Mp) f32; f_ref: (1, Mp, C) f32;
+    un_ref: (1, Nt, 3) f32; k_ref: (1, 3, Mp) f32; f_ref: (1, Mp, C) f32;
     out_ref: (1, Nt, C); dist_ref/idx_ref: (1, Nt, 4) (k padded to 4);
     d2_ref: (Nt, Mp) f32 scratch.
     """
-    u = u_ref[0]                                   # (3, Nt)
+    un = un_ref[0]                                 # (Nt, 3)
     k = k_ref[0]                                   # (3, Mp)
-    nt = u.shape[1]
+    nt = un.shape[0]
     mp = k.shape[1]
 
-    u_sq = jnp.sum(u * u, axis=0)[:, None]         # (Nt, 1)
-    k_sq = jnp.sum(k * k, axis=0)[None, :]         # (1, Mp)
-    # HIGHEST precision: the MXU default truncates f32 operands to bf16,
-    # corrupting d^2 by ~1e-2 on unit-scale clouds — enough to reorder
-    # the 3-NN selection (measured on-chip via the ball-query twin,
-    # ops/pallas/query.py).  K=3 makes full precision free here.
-    cross = jax.lax.dot_general(
-        u, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    # Direct (u - k)^2 distances on the VPU: the expanded
+    # |u|^2 - 2uk + |k|^2 form fed a depth-3 contraction to the MXU —
+    # a 128-deep systolic pass at ~2% utilization (the winner kernel
+    # measured the same shape as ~2/3 of its time) — and needed HIGHEST
+    # precision to avoid the MXU's bf16 truncation of d^2.  Three
+    # broadcast sub+FMA sweeps are exact f32 and cheaper; the direct
+    # form also avoids the expanded form's cancellation near ties.
     col = jax.lax.broadcasted_iota(jnp.int32, (nt, mp), 1)
-    d2 = u_sq - 2.0 * cross + k_sq
+    d2 = jnp.zeros((nt, mp), jnp.float32)
+    for c3 in range(3):
+        diff = un[:, c3:c3 + 1] - k[c3:c3 + 1, :]
+        d2 = d2 + diff * diff
     d2 = jnp.where(col < m_valid, d2, _BIG)
     d2_ref[:, :] = d2
 
@@ -117,11 +118,11 @@ def _fused_fwd(unknown: jnp.ndarray, known: jnp.ndarray,
     nt = min(tile_n, -(-n // 8) * 8)
     n_pad = -(-n // nt) * nt
 
-    u = jnp.transpose(unknown.astype(jnp.float32), (0, 2, 1))
+    un = unknown.astype(jnp.float32)
     k = jnp.transpose(known.astype(jnp.float32), (0, 2, 1))
     f = features.astype(jnp.float32)
     if n_pad != n:
-        u = jnp.pad(u, ((0, 0), (0, 0), (0, n_pad - n)))
+        un = jnp.pad(un, ((0, 0), (0, n_pad - n), (0, 0)))
     if m_pad != m:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, m_pad - m)))
         f = jnp.pad(f, ((0, 0), (0, m_pad - m), (0, 0)))
@@ -131,7 +132,7 @@ def _fused_fwd(unknown: jnp.ndarray, known: jnp.ndarray,
         kernel,
         grid=(b, n_pad // nt),
         in_specs=[
-            pl.BlockSpec((1, 3, nt), lambda bi, ti: (bi, 0, ti),
+            pl.BlockSpec((1, nt, 3), lambda bi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, m_pad), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -153,7 +154,7 @@ def _fused_fwd(unknown: jnp.ndarray, known: jnp.ndarray,
         ],
         scratch_shapes=[pltpu.VMEM((nt, m_pad), jnp.float32)],
         interpret=interpret,
-    )(u, k, f)
+    )(un, k, f)
     return out[:, :n], dist[:, :n, :3], idx[:, :n, :3]
 
 
