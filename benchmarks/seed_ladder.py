@@ -50,9 +50,22 @@ def main():
     seeds = [int(s) for s in args.seeds.split(",")]
     arms = args.arms.split(",")
 
+    # Resume: keep completed runs already recorded in --out (tunnel
+    # outages kill multi-hour ladders; a restart must not repeat them).
     runs = []
+    try:
+        with open(args.out) as f:
+            runs = [r for r in json.load(f).get("runs", [])
+                    if r.get("ok")]
+    except OSError:
+        pass
+    done = {(r["arm"], r["seed"]) for r in runs}
+    if done:
+        print(f"resuming; already done: {sorted(done)}", flush=True)
     for seed in seeds:
         for arm in arms:
+            if (arm, seed) in done:
+                continue
             cmd = [sys.executable, "-m", "benchmarks.synthetic_e2e",
                    "--steps", str(args.steps), "--seed", str(seed),
                    "--save_ckpt", f"/tmp/ladder_{arm}_s{seed}.pkl",
