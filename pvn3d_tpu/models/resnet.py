@@ -66,6 +66,27 @@ def _phase_kernel3(k):
     return kp.reshape(3, 3, 4 * cin, 4 * co)
 
 
+def _phase_entry_kernel3(k):
+    """Regroup a stride-2 3x3 kernel (3, 3, C, O) for a 2x2 phase-folded
+    INPUT and an UNFOLDED stride-2-resolution output: (2, 2, 4C, O).
+
+    Output row r is full-space row 2r; tap 2r+oi lands in input phase
+    qi = oi mod 2 at phase-space offset (oi - qi)/2 in {-1, 0} — a 2x2
+    phase-space kernel with top/left-only padding (1, 0).  Same
+    multiply-adds as the strided full-space conv.
+    """
+    cin, co = k.shape[2], k.shape[3]
+    kp = jnp.zeros((2, 2, 2, 2, cin, co), k.dtype)    # (a, b, qi, qj, .)
+    for oi in range(3):
+        s = oi - 1
+        qi, ai = s % 2, (s - s % 2) // 2
+        for oj in range(3):
+            t = oj - 1
+            qj, aj = t % 2, (t - t % 2) // 2
+            kp = kp.at[ai + 1, aj + 1, qi, qj].set(k[oi, oj])
+    return kp.reshape(2, 2, 4 * cin, co)
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -78,6 +99,13 @@ class BasicBlock(nn.Module):
     # same function (up to f32 summation order), full-lane channels.
     # Only valid for stride-1, dilation-1, no-downsample blocks.
     phase2: bool = False
+    # Eval-only: input is phase-folded, this block is a stride-2 stage
+    # entry (downsample proj) — conv1 consumes the folded tensor via
+    # _phase_entry_kernel3 and the output comes out UNFOLDED at the
+    # strided resolution; the 1x1/2 projection reads the (0,0) phase
+    # channel slice.  Lets the fold persist across the layer1->layer2
+    # boundary instead of unfolding just to re-stride.
+    phase_in: bool = False
 
     @nn.compact
     def __call__(self, x, bn_momentum=0.1):
@@ -125,6 +153,34 @@ class BasicBlock(nn.Module):
             y = nn.relu(bn_p(conv_p(x, conv1), bn1))
             y = bn_p(conv_p(y, conv2), bn2)
             return nn.relu(y + x)
+
+        entry = (self.phase_in and not self.train
+                 and not self.is_initializing())
+        if entry:
+            assert (self.stride == 2 and self.dilation == 1
+                    and self.downsample)
+            kp = _phase_entry_kernel3(conv1.variables["params"]["kernel"])
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kp.astype(self.dtype),
+                (1, 1), [(1, 0), (1, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = bn1(y, bn_momentum)
+            y = nn.relu(y)
+            y = conv2(y)
+            y = bn2(y, bn_momentum)
+            # 1x1 stride-2 projection == 1x1 stride-1 on the (0, 0)
+            # phase channel block (channels are (pi, pj, c)-major).
+            cin = x.shape[-1] // 4
+            down_conv = nn.Conv(self.planes, (1, 1), strides=(2, 2),
+                                use_bias=False, dtype=self.dtype,
+                                param_dtype=jnp.float32, name="down_conv")
+            dk = down_conv.variables["params"]["kernel"]     # (1,1,C,O)
+            residual = (x[..., :cin].astype(self.dtype)
+                        @ dk[0, 0].astype(self.dtype))
+            residual = BatchNorm(use_running_average=not self.train,
+                                 dtype=self.dtype,
+                                 name="down_bn")(residual, bn_momentum)
+            return nn.relu(y + residual)
 
         y = conv1(x)
         y = bn1(y, bn_momentum)
@@ -222,6 +278,7 @@ class DilatedResNet(nn.Module):
         # (planes, stride) per stage; stride-8 tail (strides 1 in 3/4).
         stages = [(64, 1), (128, 2), (256, 1), (512, 1)]
         in_planes = 64
+        folded = False
         for s, (planes, stride) in enumerate(stages):
             dilation = self.dilations[s]
             phase_stage = (s == 0 and self.phase_layer1 and not self.train
@@ -230,6 +287,15 @@ class DilatedResNet(nn.Module):
                            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
             if phase_stage:
                 x = fold2(x)
+                folded = True
+            # A folded tensor rides straight into a stride-2 stage entry
+            # (the _phase_entry_kernel3 conv unfolds it for free); any
+            # other follow-on stage shape unfolds explicitly.
+            entry_here = (folded and not phase_stage and stride == 2
+                          and dilation == 1)
+            if folded and not phase_stage and not entry_here:
+                x = unfold2(x)
+                folded = False
             for b in range(self.layers[s]):
                 first = b == 0
                 x = BasicBlock(
@@ -239,8 +305,11 @@ class DilatedResNet(nn.Module):
                     downsample=first and (stride != 1 or in_planes != planes),
                     train=self.train, dtype=self.dtype,
                     phase2=phase_stage,
+                    phase_in=entry_here and first,
                     name=f"layer{s + 1}_block{b}")(x, bn_momentum)
-            if phase_stage:
-                x = unfold2(x)
+                if entry_here and first:
+                    folded = False      # entry conv output is unfolded
             in_planes = planes
+        if folded:
+            x = unfold2(x)
         return x

@@ -520,3 +520,24 @@ class TestPhaseFoldedLayer1:
                            phase_layer1=True).apply(variables, x)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                    atol=2e-4, rtol=1e-4)
+
+    def test_phase_entry_kernel3_equals_strided_conv(self):
+        from pvn3d_tpu.models.resnet import _phase_entry_kernel3, fold2
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 12, 8, 5).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+        y_full = jax.lax.conv_general_dilated(
+            x, k, (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y_phase = jax.lax.conv_general_dilated(
+            fold2(x), _phase_entry_kernel3(k), (1, 1), [(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(y_phase), np.asarray(y_full),
+                                   atol=1e-4)
+
+    def test_phase_zero_slice_is_strided_identity(self):
+        from pvn3d_tpu.models.resnet import fold2
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.randn(1, 6, 8, 3).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(fold2(x)[..., :3]), np.asarray(x[:, ::2, ::2, :]))
