@@ -110,3 +110,26 @@ def test_fake_linemod_generator_feeds_dataset(tmp_path):
     assert s is not None and s["pointcloud"].shape == (1024, 9)
     from pvn3d_tpu.tools.check_dataset import validate_frame
     assert validate_frame(s) == []
+
+
+def test_seed_ladder_summary_and_resume_filter(tmp_path):
+    import json
+    from benchmarks.seed_ladder import _summary
+    runs = [
+        {"arm": "approx", "seed": 1, "ok": True, "add_auc": 30.0,
+         "eval_seg_acc": 0.84, "icp": {"delta_add_auc": -1.0}},
+        {"arm": "approx", "seed": 2, "ok": True, "add_auc": 34.0,
+         "eval_seg_acc": 0.86, "icp": {"delta_add_auc": 2.0}},
+        {"arm": "pallas", "seed": 1, "ok": False},   # failed run: excluded
+    ]
+    s = _summary(runs)
+    assert s["approx"]["n"] == 2
+    assert s["approx"]["add_auc_mean"] == 32.0
+    assert s["approx"]["icp_delta_add_auc_mean"] == 0.5
+    assert "pallas" not in s
+    # The resume filter keeps only ok runs from a prior --out file.
+    out = tmp_path / "ladder.json"
+    out.write_text(json.dumps({"runs": runs}))
+    kept = [r for r in json.loads(out.read_text())["runs"] if r.get("ok")]
+    assert {(r["arm"], r["seed"]) for r in kept} == {("approx", 1),
+                                                     ("approx", 2)}
