@@ -178,3 +178,35 @@ def test_fullres_gate_uses_fullres_counts():
         min_points=500, use_cluster_filter=False,
         gate_counts=jnp.asarray([400]))
     np.testing.assert_allclose(np.asarray(kept)[0], init)  # gate closed
+
+
+def test_empty_problem_does_not_pin_batch_at_max_iter():
+    """A zero-valid-point problem must go inactive after one iteration
+    (err stays 0, |prev-err| < tol) instead of holding the shared
+    while_loop hostage: a mixed [empty, real] batch must terminate in
+    the same iteration count as the real problem alone.  This is the
+    invariant behind the recorded icp_sampled latency analysis —
+    un-populated classes cost ~nothing (CLAUDE.md round-5 ICP note)."""
+    mesh_p, mesh_v, scene_p, scene_v, init, _ = _problem(0)
+
+    def stack(include_empty):
+        return (
+            np.stack([mesh_p, mesh_p]),
+            np.stack([mesh_v, mesh_v]),
+            np.stack([scene_p, scene_p]),
+            np.stack([scene_v, np.zeros_like(scene_v)]),
+            np.stack([init, init]),
+        ) if include_empty else (
+            mesh_p[None], mesh_v[None], scene_p[None],
+            scene_v[None], init[None])
+
+    _, _, iters_solo = icp_refine(*stack(False), max_iter=100)
+    _, _, iters_mixed = icp_refine(*stack(True), max_iter=100)
+    assert int(iters_mixed[0]) == int(iters_solo[0])
+    assert int(iters_mixed[0]) < 100
+
+    # An all-empty batch exits immediately.
+    m, v, s, sv, p0 = stack(True)
+    _, _, iters_empty = icp_refine(
+        m[1:], v[1:], s[1:], np.zeros_like(sv[1:]), p0[1:], max_iter=100)
+    assert int(iters_empty[0]) <= 1
